@@ -1,0 +1,75 @@
+"""Shared runtime plumbing for the CLI entry points.
+
+Each entry point mirrors a reference script (train_ssl / train_ssl_mae /
+train_mae / train_finetune / run_dynamic / run_privacy / run_federated) with
+the same --config/--base/--mode CLI shape (ref: src/train_finetune.py:214-218,
+src/run_dynamic.py:328-343) plus ``--set key.path=value`` functional overrides
+(replacing the reference ablation driver's rewrite-YAML-in-place trick,
+ref: src/ablations.py:30-36).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..data.loader import ClipDataset, iterate_batches, prefetch_to_device
+from ..utils.config import load_config
+from ..utils.io import Logger, ensure_dir
+
+
+def make_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", type=str, required=False)
+    p.add_argument("--base", type=str, default="configs/base.yaml")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="config override: key.path=value (repeatable)")
+    return p
+
+
+def load_merged_config(args, default_config: str) -> dict:
+    return load_config(args.config or default_config, base=args.base,
+                       overrides=args.overrides)
+
+
+def compute_dtype_from(cfg: dict):
+    name = str(cfg.get("device", {}).get("compute_dtype", "bfloat16")).lower()
+    if jax.default_backend() == "cpu" and name == "bfloat16":
+        # CPU (tests / smoke): bf16 is emulated and slow; fp32 is exact
+        return jnp.float32
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(name, jnp.float32)
+
+
+def dataset_from_cfg(cfg: dict, split_file: str, mode: str, seed: int | None = None) -> ClipDataset:
+    d = cfg["dataset"]
+    return ClipDataset(
+        split_file=split_file,
+        mode=mode,
+        clip_len=int(d.get("clip_len", 16)),
+        stride=int(d.get("stride", 2)),
+        image_size=int(d.get("image_size", 112)),
+        seed=int(seed if seed is not None else cfg.get("seed", 42)),
+        backend=str(d.get("backend", "packed")),
+    )
+
+
+def split_path(cfg: dict, name: str) -> str:
+    """Resolve a split name against paths.split_root unless already a path."""
+    if os.path.sep in name or os.path.exists(name):
+        return name
+    return os.path.join(cfg.get("paths", {}).get("split_root", "data/splits"), name)
+
+
+def epoch_batches(dataset: ClipDataset, batch_size: int, shuffle: bool, seed: int,
+                  epoch: int, prefetch: int = 2, drop_last: bool = True):
+    it = iterate_batches(dataset, batch_size, shuffle=shuffle, seed=seed,
+                         epoch=epoch, drop_last=drop_last)
+    return prefetch_to_device(it, size=prefetch)
+
+
+def make_logger(cfg: dict, name: str) -> Logger:
+    log_dir = cfg.get("paths", {}).get("log_dir", "logs")
+    ensure_dir(log_dir)
+    return Logger(log_path=os.path.join(log_dir, f"{name}.log"))

@@ -16,13 +16,13 @@ def topk_accuracy(logits: jax.Array, labels: jax.Array, ks: Sequence[int] = (1, 
 
     logits: [B, C] float; labels: [B] int. Returns {f"top{k}": scalar array}.
     """
-    maxk = max(ks)
-    # top-k indices, highest first: [B, maxk]
+    C = logits.shape[-1]
+    maxk = min(max(ks), C)  # clamp: top-k beyond the class count is trivially 1.0
     _, topk_idx = jax.lax.top_k(logits, maxk)
     correct = topk_idx == labels[:, None]  # [B, maxk]
     out = {}
     for k in ks:
-        out[f"top{k}"] = jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32))
+        out[f"top{k}"] = jnp.mean(jnp.any(correct[:, :min(k, C)], axis=1).astype(jnp.float32))
     return out
 
 
