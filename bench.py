@@ -1,0 +1,90 @@
+"""Benchmark: MAE pretrain throughput (clips/sec/chip) on the flagship
+pipeline-B model (TinyViT-21M-variant stage-3 + 3136-token decoder).
+
+Measures the fused, jitted train step (on-device normalize + tube-mask gen +
+encode + decode + masked loss + AdamW update) with device-resident uint8
+batches — the production ingest path also ships uint8 and normalizes
+on device (the bench host has ONE cpu core; host-side work would measure the
+host, not the chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 5000 (the BASELINE.json north-star: >=5k clips/s/chip
+MAE pretrain on v5e).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ssl_vit_video_analytics_tpu.entry.train_ssl_mae import build_model
+from ssl_vit_video_analytics_tpu.train.mae_engine import make_pixel_mae_step
+from ssl_vit_video_analytics_tpu.train.state import create_train_state, make_optimizer
+from ssl_vit_video_analytics_tpu.utils.config import load_config
+
+BASELINE_CLIPS_PER_SEC = 5000.0
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = load_config("configs/ssl_mae.yaml", base="configs/base.yaml")
+    if not on_tpu:  # CPU smoke: shrink so it finishes
+        cfg["dataset"].update(clip_len=4, image_size=32)
+        cfg["model"].update(embed_dims=[8, 16, 24, 32], decoder_embed_dim=16,
+                            decoder_depth=1, decoder_num_heads=2)
+        cfg["training"]["batch_size"] = 2
+
+    B = int(os.environ.get("BENCH_BATCH", cfg["training"]["batch_size"]))
+    T = int(cfg["dataset"]["clip_len"])
+    S = int(cfg["dataset"]["image_size"])
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    cfg["model"]["use_checkpoint"] = bool(int(os.environ.get("BENCH_REMAT", "1")))
+    model = build_model(cfg, dtype)
+
+    rng = jax.random.key(0)
+    clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
+    L = (S // 8) ** 2
+    variables = jax.jit(lambda k: model.init(k, clip0, jnp.zeros((B, T, L), bool)))(rng)
+
+    tx = make_optimizer(1e-3, weight_decay=0.05, grad_clip=1.0)
+    state = create_train_state(variables["params"], tx,
+                               batch_stats=variables.get("batch_stats"))
+    step_fn = make_pixel_mae_step(model, tx, mask_ratio=0.9, patch_size=8,
+                                  norm_pix_loss=True, compute_dtype=dtype)
+
+    batch = {"clip": jax.device_put(
+        np.random.randint(0, 255, (B, T, S, S, 3), dtype=np.uint8))}
+
+    warmup = 3 if on_tpu else 1
+    measure = 20 if on_tpu else 2
+    for i in range(warmup):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+    # NOTE: float() forces a host transfer — block_until_ready alone does not
+    # reliably sync through the axon tunnel.
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(measure):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, 100 + i))
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = measure * B / dt
+    print(json.dumps({
+        "metric": "mae_pretrain_throughput",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

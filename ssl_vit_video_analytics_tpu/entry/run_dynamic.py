@@ -1,0 +1,234 @@
+"""Dynamic-inference benchmark CLI (reference: src/run_dynamic.py).
+
+Three modes over the val split, each producing a CSV with the reference's
+exact headers and float formats (ref: src/run_dynamic.py:140-163,179-232,
+259-324):
+
+- early_exit:   threshold sweep, streaming confidence exit
+- frame_gating: top-k motion/random frame selection + full forward
+- hybrid:       gating(k) then early-exit(threshold), k x thr grid
+
+Latency is host-measured wall time around a synced jitted call (the TPU
+equivalent of the reference's CUDA-event timing, ref: :109-130), with the
+same warmup/measure batch windows.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dynamic import select_topk_frames, streaming_early_exit
+from ..train import finetune_engine as eng
+from ..utils.checkpoint import restore_checkpoint
+from ..utils.io import write_csv, ensure_dir
+from ..utils.prng import set_seed
+from . import common
+
+
+def _load_classifier(cfg: dict, dtype, clip_shape, log):
+    model = eng.build_model(int(cfg["dataset"]["num_classes"]),
+                            int(cfg["model"]["embed_dim"]), dtype=dtype)
+    variables = eng.init_model(model, jax.random.key(0), clip_shape)
+    ckpt = cfg["model"].get("finetune_ckpt")
+    if ckpt and os.path.exists(ckpt):
+        blob = restore_checkpoint(ckpt)
+        variables = {"params": blob["params"], "batch_stats": blob.get("batch_stats")}
+        log(f"[INFO] loaded finetune ckpt: {ckpt}")
+    else:
+        log(f"[WARN] finetune ckpt not found ({ckpt}); random weights")
+    return model, variables
+
+
+def _topk_np(logits: np.ndarray, labels: np.ndarray, ks=(1, 5)):
+    order = np.argsort(-logits, axis=1)
+    out = {}
+    for k in ks:
+        out[k] = float(np.mean([labels[i] in order[i, :k] for i in range(len(labels))]))
+    return out
+
+
+def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
+    dyn = cfg["dynamic"]
+    rt = cfg["runtime"]
+    B = int(rt["batch_size"])
+    warm, meas = int(rt.get("num_warmup", 10)), int(rt.get("num_measure", 50))
+
+    def embed_fn(frames):
+        return model.apply(variables, frames, method="frame_embedding")
+
+    def classify_fn(emb):
+        return model.apply(variables, emb, method="classify_embedding")
+
+    from ..ops.preprocess import normalize_clip
+    rows = []
+    for thr in dyn["confidence_thresholds"]:
+        logits_all, labels_all, used_all, conf_all = [], [], [], []
+        times = []
+        # normalize on device inside the timed call — the reference times the
+        # full per-batch inference with CUDA events (ref: :109-130)
+        fn_full = jax.jit(lambda raw, t=float(thr): streaming_early_exit(
+            embed_fn, classify_fn, normalize_clip(raw), t,
+            min_frames=int(dyn.get("min_frames", 4)),
+            max_frames=dyn.get("max_frames"),
+            frame_step=int(dyn.get("frame_step", 1))))
+        for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
+            t0 = time.perf_counter()
+            logits, stats = fn_full(batch["clip"])
+            conf = np.asarray(stats.final_conf)  # forces sync
+            dt = (time.perf_counter() - t0) * 1000.0
+            if warm <= i < warm + meas:
+                times.append(dt)
+            logits_all.append(np.asarray(logits))
+            labels_all.append(np.asarray(batch["label"]))
+            used_all.append(np.asarray(stats.used_frames))
+            conf_all.append(conf)
+        logits_np = np.concatenate(logits_all)
+        labels_np = np.concatenate(labels_all)
+        accs = _topk_np(logits_np, labels_np)
+        row = {
+            "threshold": f"{float(thr):.2f}",
+            "top1": f"{accs[1]:.6f}",
+            "top5": f"{accs[5]:.6f}",
+            "avg_frames": f"{float(np.mean(np.concatenate(used_all))):.3f}",
+            "avg_conf": f"{float(np.mean(np.concatenate(conf_all))):.4f}",
+            "avg_latency_ms": f"{float(np.mean(times)) if times else 0.0:.3f}",
+        }
+        rows.append(row)
+        log(f"[INFO] early_exit thr={thr} top1={row['top1']} frames={row['avg_frames']} "
+            f"lat={row['avg_latency_ms']}ms")
+    return rows
+
+
+def run_frame_gating(cfg, model, variables, ds, log) -> list[dict]:
+    from ..ops.preprocess import normalize_clip
+    dyn = cfg["dynamic"]
+    rt = cfg["runtime"]
+    B = int(rt["batch_size"])
+    warm, meas = int(rt.get("num_warmup", 10)), int(rt.get("num_measure", 50))
+    score = str(dyn.get("gating_score", "motion"))
+
+    rows = []
+    for k in dyn["gating_topk_list"]:
+        def fn(raw, key, k=int(k)):
+            clip = normalize_clip(raw)
+            sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
+            return model.apply(variables, sel)
+        jfn = jax.jit(fn)
+        logits_all, labels_all, times = [], [], []
+        key = jax.random.key(0)
+        for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            logits = np.asarray(jfn(batch["clip"], sub))
+            dt = (time.perf_counter() - t0) * 1000.0
+            if warm <= i < warm + meas:
+                times.append(dt)
+            logits_all.append(logits)
+            labels_all.append(np.asarray(batch["label"]))
+        accs = _topk_np(np.concatenate(logits_all), np.concatenate(labels_all))
+        row = {
+            "topk": str(int(k)),
+            "score": score,
+            "top1": f"{accs[1]:.6f}",
+            "top5": f"{accs[5]:.6f}",
+            "avg_latency_ms": f"{float(np.mean(times)) if times else 0.0:.3f}",
+        }
+        rows.append(row)
+        log(f"[INFO] frame_gating k={k} top1={row['top1']} lat={row['avg_latency_ms']}ms")
+    return rows
+
+
+def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
+    from ..ops.preprocess import normalize_clip
+    dyn = cfg["dynamic"]
+    rt = cfg["runtime"]
+    B = int(rt["batch_size"])
+    warm, meas = int(rt.get("num_warmup", 10)), int(rt.get("num_measure", 50))
+    score = str(dyn.get("gating_score", "motion"))
+
+    def embed_fn(frames):
+        return model.apply(variables, frames, method="frame_embedding")
+
+    def classify_fn(emb):
+        return model.apply(variables, emb, method="classify_embedding")
+
+    rows = []
+    for k in dyn["gating_topk_list"]:
+        for thr in dyn["confidence_thresholds"]:
+            def fn(raw, key, k=int(k), t=float(thr)):
+                clip = normalize_clip(raw)
+                sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
+                return streaming_early_exit(
+                    embed_fn, classify_fn, sel, t,
+                    min_frames=int(dyn.get("min_frames", 4)),
+                    max_frames=dyn.get("max_frames"),
+                    frame_step=int(dyn.get("frame_step", 1)))
+            jfn = jax.jit(fn)
+            logits_all, labels_all, used_all, times = [], [], [], []
+            key = jax.random.key(0)
+            for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
+                key, sub = jax.random.split(key)
+                t0 = time.perf_counter()
+                logits, stats = jfn(batch["clip"], sub)
+                used = np.asarray(stats.used_frames)
+                dt = (time.perf_counter() - t0) * 1000.0
+                if warm <= i < warm + meas:
+                    times.append(dt)
+                logits_all.append(np.asarray(logits))
+                labels_all.append(np.asarray(batch["label"]))
+                used_all.append(used)
+            accs = _topk_np(np.concatenate(logits_all), np.concatenate(labels_all))
+            row = {
+                "topk": str(int(k)),
+                "threshold": f"{float(thr):.2f}",
+                "top1": f"{accs[1]:.6f}",
+                "top5": f"{accs[5]:.6f}",
+                "avg_frames": f"{float(np.mean(np.concatenate(used_all))):.3f}",
+                "avg_latency_ms": f"{float(np.mean(times)) if times else 0.0:.3f}",
+            }
+            rows.append(row)
+            log(f"[INFO] hybrid k={k} thr={thr} top1={row['top1']} "
+                f"frames={row['avg_frames']} lat={row['avg_latency_ms']}ms")
+    return rows
+
+
+def run(cfg: dict, mode: str | None = None, log=print) -> dict:
+    set_seed(int(cfg.get("seed", 42)))
+    dtype = common.compute_dtype_from(cfg)
+    mode = mode or cfg.get("dynamic", {}).get("mode", "early_exit")
+    ds = common.dataset_from_cfg(cfg, common.split_path(cfg, cfg["dataset"]["split"]),
+                                 "supervised")
+    B = int(cfg["runtime"]["batch_size"])
+    model, variables = _load_classifier(
+        cfg, dtype, (B, ds.clip_len, ds.image_size, ds.image_size, 3), log)
+
+    save_dir = cfg.get("output", {}).get("save_dir", "results/dynamic")
+    ensure_dir(save_dir)
+    runners = {"early_exit": run_early_exit, "frame_gating": run_frame_gating,
+               "hybrid": run_hybrid}
+    if mode not in runners:
+        raise ValueError(f"[ERROR] Unknown dynamic mode: {mode}")
+    rows = runners[mode](cfg, model, variables, ds, log)
+    out_csv = os.path.join(save_dir, f"{mode}_results.csv")
+    if cfg.get("output", {}).get("save_csv", True):
+        write_csv(out_csv, rows)
+        log(f"[INFO] wrote {out_csv}")
+    return {"rows": rows, "csv": out_csv}
+
+
+def main():
+    p = common.make_parser("Dynamic inference latency-accuracy frontier")
+    p.add_argument("--mode", type=str, default=None,
+                   help="early_exit | frame_gating | hybrid")
+    args = p.parse_args()
+    cfg = common.load_merged_config(args, "configs/dynamic.yaml")
+    logger = common.make_logger(cfg, f"dynamic_{args.mode or 'cfg'}")
+    run(cfg, mode=args.mode, log=logger.log)
+
+
+if __name__ == "__main__":
+    main()

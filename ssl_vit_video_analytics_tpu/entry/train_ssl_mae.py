@@ -1,0 +1,151 @@
+"""SSL pipeline B CLI: pixel-reconstruction VideoMAE pretraining
+(reference: src/train_ssl_mae.py).
+
+TinyViT stage-3 features + tube mask (default 0.9) + norm-pix masked MSE,
+bf16 compute, throughput (clips/s) + ETA logging, encoder-only checkpoints
+every save_every epochs (ref: src/train_ssl_mae.py:190-193).
+
+Usage:
+  python -m ssl_vit_video_analytics_tpu.entry.train_ssl_mae --config configs/ssl_mae.yaml
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..models import TinyVideoMAE, tiny_vit_21m_variant
+from ..train.mae_engine import make_pixel_mae_step, wrap_accum_and_skip
+from ..train.state import create_train_state, make_optimizer, warmup_cosine_schedule
+from ..utils.checkpoint import save_checkpoint
+from ..utils.io import ensure_dir
+from ..utils.prng import set_seed
+from . import common
+
+
+def build_model(cfg: dict, dtype, attn_impl: str | None = None) -> TinyVideoMAE:
+    m = cfg["model"]
+    encoder = tiny_vit_21m_variant(
+        use_checkpoint=bool(m.get("use_checkpoint", True)), dtype=dtype,
+        attn_impl=attn_impl,
+        embed_dims=tuple(m.get("embed_dims", (96, 192, 384, 576))),
+    )
+    return TinyVideoMAE(
+        encoder=encoder,
+        clip_len=int(cfg["dataset"]["clip_len"]),
+        img_size=int(cfg["dataset"]["image_size"]),
+        patch_size=8,
+        decoder_embed_dim=int(m["decoder_embed_dim"]),
+        decoder_depth=int(m["decoder_depth"]),
+        decoder_num_heads=int(m["decoder_num_heads"]),
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )
+
+
+def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
+    seed = int(cfg.get("seed", 42))
+    root_key = set_seed(seed)
+    dtype = common.compute_dtype_from(cfg)
+    log(f"[INFO] ssl_mae: backend={jax.default_backend()} dtype={dtype.__name__}")
+
+    ds = common.dataset_from_cfg(cfg, common.split_path(cfg, cfg["dataset"]["train_split"]),
+                                 "ssl", seed=seed)
+    tr = cfg["training"]
+    B = int(tr["batch_size"])
+    T = ds.clip_len
+    S = ds.image_size
+    steps_per_epoch = max(1, len(ds) // B)
+    epochs = int(tr["epochs"])
+
+    model = build_model(cfg, dtype)
+    clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
+    L = (S // 8) ** 2
+    mask0 = jnp.zeros((B, T, L), bool)
+    init_key, step_key = jax.random.split(root_key)
+    variables = jax.jit(lambda k: model.init(k, clip0, mask0))(init_key)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    log(f"[INFO] model params: {n_params / 1e6:.2f}M, tokens/frame={L}")
+
+    sched = warmup_cosine_schedule(
+        float(tr.get("lr", 5e-4)),
+        int(tr.get("warmup_epochs", 0)) * steps_per_epoch,
+        epochs * steps_per_epoch,
+        float(tr.get("min_lr", 0.0)),
+    )
+    tx = make_optimizer(sched, weight_decay=float(tr.get("weight_decay", 0.05)),
+                        grad_clip=float(tr.get("clip_grad_norm", 1.0)))
+    tx = wrap_accum_and_skip(tx, accum_steps=int(tr.get("accumulation_steps", 1)))
+    state = create_train_state(variables["params"], tx,
+                               batch_stats=variables.get("batch_stats"))
+
+    ssl = cfg.get("ssl", {})
+    step_fn = make_pixel_mae_step(
+        model, tx,
+        mask_ratio=float(ssl.get("mask_ratio", 0.9)),
+        patch_size=8,
+        norm_pix_loss=bool(ssl.get("norm_pix_loss", True)),
+        compute_dtype=dtype,
+    )
+
+    save_dir = tr.get("save_dir", "results/tinymae_v1")
+    ensure_dir(save_dir)
+    log_interval = int(tr.get("log_interval", 20))
+    save_every = int(tr.get("save_every", 10))
+
+    global_step = 0
+    t_start = time.perf_counter()
+    last_loss = float("nan")
+    for epoch in range(1, epochs + 1):
+        t_ep = time.perf_counter()
+        seen = 0
+        metrics = None
+        for step, batch in enumerate(
+                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch), 1):
+            step_key, k = jax.random.split(step_key)
+            state, metrics = step_fn(state, batch, k)
+            global_step += 1
+            seen += B
+            if step % log_interval == 0:
+                jax.block_until_ready(metrics["loss"])
+                dt = time.perf_counter() - t_ep
+                ips = seen / max(dt, 1e-9)
+                eta = (steps_per_epoch - step) * (dt / step)
+                last_loss = float(metrics["loss"])
+                log(f"[INFO] ep={epoch} step={step}/{steps_per_epoch} "
+                    f"loss={last_loss:.4f} pred_std={float(metrics['pred_std']):.4f} "
+                    f"clips/s={ips:.1f} eta={eta:.0f}s")
+                if float(metrics["collapse"]) > 0:
+                    log("[WARN:pred_std_low] possible representation collapse")
+            if max_steps is not None and global_step >= max_steps:
+                break
+        if metrics is not None:
+            last_loss = float(metrics["loss"])
+        log(f"[INFO] epoch {epoch} done in {time.perf_counter() - t_ep:.1f}s")
+        if epoch % save_every == 0 or epoch == epochs:
+            # encoder-only checkpoint, like the reference
+            path = save_checkpoint(save_dir, f"ckpt_epoch_{epoch}", {
+                "params": {"encoder": state.params["encoder"]},
+                "batch_stats": ({"encoder": state.batch_stats["encoder"]}
+                                if state.batch_stats else None),
+            })
+            log(f"[INFO] saved encoder checkpoint: {path}")
+        if max_steps is not None and global_step >= max_steps:
+            break
+
+    total = time.perf_counter() - t_start
+    return {"steps": global_step, "seconds": total, "last_loss": last_loss}
+
+
+def main():
+    p = common.make_parser("VideoMAE SSL pretraining (pipeline B)")
+    args = p.parse_args()
+    cfg = common.load_merged_config(args, "configs/ssl_mae.yaml")
+    logger = common.make_logger(cfg, "train_ssl_mae")
+    run(cfg, log=logger.log)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Blockwise flash attention as a Pallas TPU kernel, with custom VJP.
+
+Why: XLA's naive attention materializes the [L, L] logits in HBM — for
+TinyViT stage-2 that is 640x6x784x784 floats per step (the pipeline-B OOM),
+and the MAE decoder attends over T*196 = 3136 tokens
+(ref: src/models/mae_vit_adapter.py:107; torch hides this inside SDPA,
+ref: src/models/tiny_vit.py:103). This kernel never materializes logits in
+HBM: each grid cell computes one q-block against the full K/V resident in
+VMEM, does a row softmax in registers/VMEM, and writes only the [block_q, d]
+output plus a per-row logsumexp.
+
+Shape regime this kernel is tuned for: L <= ~4k, d <= 128 — K/V for one
+(batch, head) fit comfortably in VMEM (3136 x 64 x 4B = 0.8 MB), so no
+online-softmax accumulation is needed; one pass per q-block is exact.
+
+Backward avoids cross-grid-cell races by splitting into two kernels:
+  - dQ: grid over q-blocks (full K/V resident), using saved LSE
+  - dK/dV: grid over kv-blocks (full Q/dO resident), using saved LSE + D
+where D = rowsum(dO * O) is computed with one cheap XLA reduction.
+
+All matmuls use preferred_element_type=float32 to hit the MXU at full
+precision; inputs may be bf16.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _block(L: int, target: int = 512) -> int:
+    """Largest multiple-of-128 divisor of L that is <= target (L is padded
+    to a multiple of 128 by the wrapper)."""
+    for b in (512, 384, 256, 128):
+        if b <= target and L % b == 0:
+            return b
+    return min(L, 128)
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, l_kv: int):
+    q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
+    k = k_ref[0].astype(jnp.float32)                    # [Lk, d]
+    v = v_ref[0]                                        # [Lk, d]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, Lk]
+    # mask padded keys
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < l_kv, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / denom).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+    # lse stored lane-oriented [1, bq]: a [.., 1]-shaped buffer would be
+    # padded 128x by the TPU tiled layout (observed 1.6 GB of pad!)
+    lse_ref[0] = jnp.transpose(m + jnp.log(denom))
+
+
+def _fa_fwd_impl(q, k, v, scale, l_kv):
+    """q: [BH, Lq, d], k/v: [BH, Lk, d] (pre-padded to 128 multiples);
+    l_kv = UNPADDED key count for masking."""
+    BH, Lq, d = q.shape
+    Lk = k.shape[1]
+    bq = _block(Lq)
+    grid = (BH, Lq // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, 1, Lq), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------- backward
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dq_ref,
+               *, scale: float, l_kv: int):
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)                  # [bq, d]
+    lse = jnp.transpose(lse_ref[0])                     # [1, bq] -> [bq, 1]
+    dvo = jnp.transpose(dvo_ref[0])                     # [bq, 1]  D = rowsum(dO*O)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [bq, Lk]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dvo)                                  # [bq, Lk]
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dk_ref, dv_ref,
+                *, scale: float, l_kv: int):
+    q = q_ref[0].astype(jnp.float32) * scale            # [Lq, d] (full)
+    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
+    do = do_ref[0].astype(jnp.float32)                  # [Lq, d]
+    lse = jnp.transpose(lse_ref[0])                     # [Lq, 1]
+    dvo = jnp.transpose(dvo_ref[0])                     # [Lq, 1]
+    kv_start = pl.program_id(1) * k.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [Lq, bk]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+    p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)
+    # dV_j = P^T dO
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    v = v_ref[0].astype(jnp.float32)                    # [bk, d]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [Lq, bk]
+    ds = p * (dp - dvo)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bk, d]
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv):
+    BH, Lq, d = q.shape
+    Lk = k.shape[1]
+    dvo = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                  axis=-1)[:, None, :]  # [BH, 1, Lq]
+
+    # backward keeps two [block, L] fp32 buffers live; halve blocks vs fwd
+    bq = _block(Lq, target=256)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, l_kv=l_kv),
+        grid=(BH, Lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, dvo)
+
+    bk = _block(Lk, target=256)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, l_kv=l_kv),
+        grid=(BH, Lk // bk),
+        in_specs=[
+            pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lk, d), k.dtype),
+            jax.ShapeDtypeStruct((BH, Lk, d), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, do, lse, dvo)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------- public op
+
+@functools.lru_cache(maxsize=None)
+def _make_core(l_kv: int, d_real: int):
+    """custom-vjp core specialized on (unpadded kv length, real head dim)."""
+    scale = 1.0 / math.sqrt(d_real)
+
+    @jax.custom_vjp
+    def core(q, k, v):
+        out, _ = _fa_fwd_impl(q, k, v, scale, l_kv)
+        return out
+
+    def core_fwd(q, k, v):
+        out, lse = _fa_fwd_impl(q, k, v, scale, l_kv)
+        return out, (q, k, v, out, lse)
+
+    def core_bwd(res, do):
+        q, k, v, out, lse = res
+        return _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v over [B, L, H, d] inputs (same contract as
+    ops.attention._sdpa_xla). Arbitrary L handled by padding to 128; padded
+    keys are masked inside the kernel, padded query rows are sliced away
+    (their cotangents are zero, so backward stays exact)."""
+    B, Lq, H, d = q.shape
+    Lk = k.shape[1]
+
+    def to_bhld(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], d)
+    qf, kf, vf = to_bhld(q), to_bhld(k), to_bhld(v)
+
+    # Large Lq: pad to a multiple of 512 so q-blocks are big (fewer grid
+    # cells, better MXU occupancy); the <=14% extra rows are masked work.
+    q_align = 512 if Lq >= 1024 else 128
+    Lq_p = -(-Lq // q_align) * q_align
+    Lk_p = -(-Lk // 128) * 128
+    qf = _pad_to(qf, Lq_p, 1)
+    kf = _pad_to(kf, Lk_p, 1)
+    vf = _pad_to(vf, Lk_p, 1)
+
+    out = _make_core(Lk, d)(qf, kf, vf)
+    out = out[:, :Lq]
+    return out.reshape(B, H, Lq, d).transpose(0, 2, 1, 3)

@@ -28,13 +28,15 @@ def train_attacker(
     num_classes: int,
     epochs: int = 10,
     lr: float = 1e-3,
-    batch_size: int = 256,
+    batch_size: int | None = None,
 ) -> tuple[dict, float]:
     """Train the probe; returns (params, final top-1 on the training set).
 
-    The reference evaluates attacker top-1 on the same embedding set it
-    trained on — the metric is leakage, not generalization
-    (ref: src/run_privacy.py:309-337).
+    batch_size=None does full-batch steps — exactly the reference's loop
+    (one whole-dataset gradient step per "epoch",
+    ref: src/run_privacy.py:313-320). The reference evaluates attacker top-1
+    on the same embedding set it trained on — the metric is leakage, not
+    generalization (ref: :322-337).
     """
     model = FeatureAttacker(num_classes=num_classes)
     k_init, k_shuf = jax.random.split(key)
@@ -42,6 +44,8 @@ def train_attacker(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     n = embeddings.shape[0]
+    if batch_size is None:
+        batch_size = n
     steps = max(1, n // batch_size)
 
     @jax.jit

@@ -107,10 +107,13 @@ def make_train_step(model: VideoClassifier, tx: optax.GradientTransformation,
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         labels = batch["label"]
 
+        drop_key = jax.random.fold_in(jax.random.key(0), state.step)
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 clip, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key},
             )
             logits = out.astype(jnp.float32)
             loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
@@ -146,7 +149,7 @@ def evaluate(eval_step, state: TrainState, batches, ks=(1, 5)) -> dict:
         logits = eval_step(state, batch)
         valid = batch.get("valid")
         labels = batch["label"]
-        maxk = max(ks)
+        maxk = min(max(ks), logits.shape[-1])
         _, topi = jax.lax.top_k(logits, maxk)
         match = jax.device_get(topi == labels[:, None])
         v = jax.device_get(valid) if valid is not None else None

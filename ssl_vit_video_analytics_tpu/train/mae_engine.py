@@ -44,7 +44,8 @@ def make_pixel_mae_step(
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
         L = (clip.shape[2] // patch_size) * (clip.shape[3] // patch_size)
-        mask = get_tube_mask(rng, B, T, L, mask_ratio)      # [B, T, L]
+        k_mask, k_drop = jax.random.split(rng)
+        mask = get_tube_mask(k_mask, B, T, L, mask_ratio)   # [B, T, L]
         target = patchify(clip.astype(jnp.float32), patch_size)  # [B, T*L, p*p*3]
         flat_mask = mask.reshape(B, T * L)
 
@@ -52,6 +53,7 @@ def make_pixel_mae_step(
             pred, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 clip, mask, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
             )
             loss = mae_loss_l2(pred, target, flat_mask, normalize_target=norm_pix_loss)
             return loss, (pred, mutated["batch_stats"])
@@ -88,8 +90,9 @@ def make_token_mae_step(
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
         N = T * tokens_per_frame
+        k_mask, k_drop = jax.random.split(rng)
         # traced-ratio variant of make_token_mask: rank-vs-count comparison
-        noise = jax.random.uniform(rng, (B, N) if mask_mode == "random" else (B, tokens_per_frame))
+        noise = jax.random.uniform(k_mask, (B, N) if mask_mode == "random" else (B, tokens_per_frame))
         order = jnp.argsort(noise, axis=-1, descending=True)
         ranks = jnp.argsort(order, axis=-1)
         if mask_mode == "random":
@@ -103,6 +106,7 @@ def make_token_mae_step(
             (rec, target), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 clip, token_mask, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
             )
             loss = loss_fn_masked(rec, target, token_mask)
             return loss, (rec, target, mutated["batch_stats"])

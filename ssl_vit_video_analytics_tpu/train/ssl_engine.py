@@ -93,7 +93,7 @@ def make_ssl_step(model, tx: optax.GradientTransformation, ssl_cfg: dict,
     def step(state: TrainState, batch: dict, rng: jax.Array):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
-        k_mask, k_top_sel, k_top_perm = jax.random.split(rng, 3)
+        k_mask, k_top_sel, k_top_perm, k_drop = jax.random.split(rng, 4)
         mask = frame_mask(k_mask, B, T, mask_ratio)  # [B, T] bool
 
         # Teacher: full sequence, EMA params, no grad.
@@ -107,7 +107,7 @@ def make_ssl_step(model, tx: optax.GradientTransformation, ssl_cfg: dict,
             variables = {"params": params, "batch_stats": state.batch_stats}
             ctx_s, mutated = model.apply(
                 variables, clip, mask, train=True, method="forward_tokens",
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], rngs={"dropout": k_drop},
             )
             bs1 = mutated["batch_stats"]
             D = ctx_s.shape[-1]

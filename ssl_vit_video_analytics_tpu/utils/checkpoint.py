@@ -26,8 +26,14 @@ def _ckptr() -> ocp.StandardCheckpointer:
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(ckpt_dir: str, name: str, tree: Any) -> str:
-    """Save a PyTree under ckpt_dir/name (overwrites). Returns the path."""
+def save_checkpoint(ckpt_dir: str, name: str, tree: Any, meta: dict | None = None) -> str:
+    """Save a PyTree under ckpt_dir/name (overwrites). Returns the path.
+
+    Orbax handles array leaves; ``meta`` (strings, nested dicts of plain
+    python scalars — cfg hashes, best-metric records, epoch counters) goes to
+    a JSON sidecar ``meta.json`` inside the checkpoint directory and is
+    merged back into the restored dict by ``restore_checkpoint``.
+    """
     ensure_dir(ckpt_dir)
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     if os.path.exists(path):
@@ -35,17 +41,32 @@ def save_checkpoint(ckpt_dir: str, name: str, tree: Any) -> str:
     ckptr = _ckptr()
     ckptr.save(path, tree)
     ckptr.wait_until_finished()
+    if meta is not None:
+        import json
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
     return path
 
 
 def restore_checkpoint(path: str, target: Any | None = None) -> Any:
-    """Restore a PyTree; ``target`` provides structure/shardings if given."""
+    """Restore a PyTree; ``target`` provides structure/shardings if given.
+
+    If a ``meta.json`` sidecar exists and the restored object is a dict, the
+    metadata is merged in under its original keys.
+    """
     ckptr = _ckptr()
     path = os.path.abspath(path)
     if target is not None:
         template = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        return ckptr.restore(path, template)
-    return ckptr.restore(path)
+        out = ckptr.restore(path, template)
+    else:
+        out = ckptr.restore(path)
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path) and isinstance(out, dict):
+        import json
+        with open(meta_path) as f:
+            out = {**out, **json.load(f)}
+    return out
 
 
 _EPOCH_RE = re.compile(r"epoch_(\d+)")
@@ -62,7 +83,8 @@ def keep_last_n_checkpoints(ckpt_dir: str, keep: int, prefix: str = "ckpt_epoch_
         return []
     entries = []
     for name in os.listdir(ckpt_dir):
-        if not name.startswith(prefix):
+        if not name.startswith(prefix) or ".orbax-checkpoint-tmp" in name \
+                or name.endswith(".meta.json"):
             continue
         m = _EPOCH_RE.search(name)
         if m:
@@ -72,6 +94,8 @@ def keep_last_n_checkpoints(ckpt_dir: str, keep: int, prefix: str = "ckpt_epoch_
     for _, name in entries[:-keep] if keep > 0 else entries:
         path = os.path.join(ckpt_dir, name)
         shutil.rmtree(path, ignore_errors=True)
+        if os.path.exists(path + ".meta.json"):
+            os.remove(path + ".meta.json")
         deleted.append(path)
     return deleted
 
@@ -87,7 +111,8 @@ def find_latest_checkpoint(ckpt_dir: str, prefix: str = "ckpt_epoch_") -> str | 
         return None
     best: tuple[int, str] | None = None
     for name in os.listdir(ckpt_dir):
-        if not name.startswith(prefix):
+        if not name.startswith(prefix) or ".orbax-checkpoint-tmp" in name \
+                or name.endswith(".meta.json"):
             continue
         m = _EPOCH_RE.search(name)
         if m and (best is None or int(m.group(1)) > best[0]):
