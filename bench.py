@@ -46,7 +46,10 @@ def main():
     S = int(cfg["dataset"]["image_size"])
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    cfg["model"]["use_checkpoint"] = bool(int(os.environ.get("BENCH_REMAT", "1")))
+    remat = os.environ.get("BENCH_REMAT", "early")  # all | early | none
+    cfg["model"]["use_checkpoint"] = remat != "none"
+    if remat == "early":
+        cfg["model"]["remat_stages"] = [0, 1]
     model = build_model(cfg, dtype)
 
     rng = jax.random.key(0)

@@ -109,9 +109,56 @@ def pack_frame_dir(frame_dir: str, image_size: int, overwrite: bool = False) -> 
     return out_path
 
 
+class VideoFileStore:
+    """Direct-from-video frames via cv2.VideoCapture seek.
+
+    The reference's orphaned LazyVideoDataset variant
+    (ref: src/datasets/lazy_video_dataset.py:11-80): CAP_PROP_POS_FRAMES
+    seeking with last-frame padding on read failure. Slow (decode on every
+    access) — the packed store supersedes it; kept for datasets that were
+    never frame-extracted.
+    """
+
+    def __init__(self):
+        self._lengths: dict[str, int] = {}
+
+    def num_frames(self, video_path: str) -> int:
+        n = self._lengths.get(video_path)
+        if n is None:
+            cap = cv2.VideoCapture(video_path)
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            self._lengths[video_path] = n
+        return n
+
+    def read_frames(self, video_path: str, indices, image_size: int) -> np.ndarray:
+        cap = cv2.VideoCapture(video_path)
+        out = np.zeros((len(indices), image_size, image_size, 3), dtype=np.uint8)
+        last = None
+        try:
+            for i, idx in enumerate(indices):
+                cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
+                ok, frame = cap.read()
+                if not ok or frame is None:
+                    if last is not None:
+                        out[i] = last  # last-frame padding
+                    continue
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if frame.shape[:2] != (image_size, image_size):
+                    frame = cv2.resize(frame, (image_size, image_size),
+                                       interpolation=cv2.INTER_LINEAR)
+                out[i] = frame
+                last = out[i]
+        finally:
+            cap.release()
+        return out
+
+
 def make_store(backend: str, image_size: int):
     if backend in ("packed", "frame_packed"):
         return PackedFolderStore(image_size)
     if backend in ("frames", "frame_lazy", "jpeg"):
         return JpegFolderStore()
+    if backend in ("video", "video_lazy"):
+        return VideoFileStore()
     raise ValueError(f"Unknown frame store backend: {backend}")

@@ -27,10 +27,12 @@ from . import common
 
 def build_model(cfg: dict, dtype, attn_impl: str | None = None) -> TinyVideoMAE:
     m = cfg["model"]
+    remat_stages = m.get("remat_stages")
     encoder = tiny_vit_21m_variant(
         use_checkpoint=bool(m.get("use_checkpoint", True)), dtype=dtype,
         attn_impl=attn_impl,
         embed_dims=tuple(m.get("embed_dims", (96, 192, 384, 576))),
+        remat_stages=tuple(remat_stages) if remat_stages is not None else None,
     )
     return TinyVideoMAE(
         encoder=encoder,

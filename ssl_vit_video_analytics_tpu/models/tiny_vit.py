@@ -77,6 +77,7 @@ class TinyViT(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 18)
     drop_path_rate: float = 0.1
     use_checkpoint: bool = True
+    remat_stages: Sequence[int] | None = None  # None -> all stages when use_checkpoint
     dtype: jnp.dtype = jnp.float32
     attn_impl: str | None = None
 
@@ -97,7 +98,12 @@ class TinyViT(nn.Module):
                 attn_impl=self.attn_impl,
                 name=f"stage{i}",
             )
-            if self.use_checkpoint and train:
+            # Selective remat: the memory hogs are the early stages' 56x56
+            # MBConv expansions; later stages are cheap to store, expensive
+            # to recompute.
+            remat_this = self.use_checkpoint and train and (
+                self.remat_stages is None or i in tuple(self.remat_stages))
+            if remat_this:
                 x = nn.remat(lambda mdl, y: mdl(y, train=True))(stage, x)
             else:
                 x = stage(x, train)

@@ -1,0 +1,221 @@
+"""CSV-driven figure generation.
+
+The reference's plotting.py hardcodes its experiment numbers in the source
+(ref: src/plotting.py:56-99) and ignores its own configs/plotting.yaml; here
+we implement what that config DECLARES (ref: configs/plotting.yaml:16-31):
+fig17 dynamic latency-accuracy trade-off, fig18 feature-privacy trade-off,
+fig19 federated rounds/comm trade-off, and the fig20 joint Pareto with the
+weighted cost score cost = w_lat*norm_lat + w_comm*norm_comm + w_priv*norm_priv
+— all read from the CSVs the run_* entry points produce. Journal-style
+rcParams mirror the reference's (serif fonts, high dpi, ref: src/plotting.py:9-54).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+except ImportError:  # pragma: no cover
+    plt = None
+
+from ..utils.io import read_csv_dicts, write_csv, ensure_dir
+from ..utils.metrics import minmax_norm
+
+RC_PARAMS = {
+    "font.family": "serif",
+    "font.size": 10,
+    "axes.titlesize": 11,
+    "axes.labelsize": 10,
+    "legend.fontsize": 9,
+    "figure.dpi": 120,
+    "savefig.dpi": 200,
+    "axes.grid": True,
+    "grid.alpha": 0.3,
+}
+
+
+def _floats(rows, key):
+    return [float(r[key]) for r in rows]
+
+
+def fig17_dynamic_tradeoff(early_csv: str, gating_csv: str, out_path: str) -> str | None:
+    if plt is None:
+        return None
+    fig, ax = plt.subplots(figsize=(5, 4))
+    if os.path.exists(early_csv):
+        rows = read_csv_dicts(early_csv)
+        ax.plot(_floats(rows, "avg_latency_ms"), _floats(rows, "top1"),
+                "o-", label="early-exit (thr sweep)")
+        for r in rows:
+            ax.annotate(r["threshold"], (float(r["avg_latency_ms"]), float(r["top1"])),
+                        fontsize=7, xytext=(3, 3), textcoords="offset points")
+    if os.path.exists(gating_csv):
+        rows = read_csv_dicts(gating_csv)
+        ax.plot(_floats(rows, "avg_latency_ms"), _floats(rows, "top1"),
+                "s--", label="frame-gating (k sweep)")
+        for r in rows:
+            ax.annotate(f"k={r['topk']}", (float(r["avg_latency_ms"]), float(r["top1"])),
+                        fontsize=7, xytext=(3, -8), textcoords="offset points")
+    ax.set_xlabel("avg latency (ms)")
+    ax.set_ylabel("top-1 accuracy")
+    ax.set_title("Fig 17: dynamic inference latency-accuracy trade-off")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def fig18_feature_privacy(feature_csv: str, out_path: str) -> str | None:
+    if plt is None or not os.path.exists(feature_csv):
+        return None
+    rows = read_csv_dicts(feature_csv)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    sigmas = sorted({r["sigma"] for r in rows}, key=float)
+    for s in sigmas:
+        sub = [r for r in rows if r["sigma"] == s]
+        ax.plot(_floats(sub, "attacker_top1"), _floats(sub, "top1"),
+                "o-", label=f"sigma={s}")
+        for r in sub:
+            ax.annotate(f"m={r['mask_ratio']}",
+                        (float(r["attacker_top1"]), float(r["top1"])),
+                        fontsize=7, xytext=(3, 3), textcoords="offset points")
+    ax.set_xlabel("attacker top-1 (leakage)")
+    ax.set_ylabel("utility top-1")
+    ax.set_title("Fig 18: feature privacy utility-leakage trade-off")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def fig19_federated(fed_csv: str, out_path: str) -> str | None:
+    if plt is None or not os.path.exists(fed_csv):
+        return None
+    rows = read_csv_dicts(fed_csv)
+    fig, ax1 = plt.subplots(figsize=(5, 4))
+    rounds = _floats(rows, "round")
+    ax1.plot(rounds, _floats(rows, "val_top1"), "o-", color="tab:blue", label="val top-1")
+    ax1.set_xlabel("round")
+    ax1.set_ylabel("val top-1", color="tab:blue")
+    ax2 = ax1.twinx()
+    ax2.plot(rounds, _floats(rows, "comm_mb_total"), "s--", color="tab:red",
+             label="cumulative comm (MB)")
+    ax2.set_ylabel("cumulative comm (MB)", color="tab:red")
+    ax1.set_title("Fig 19: federated accuracy vs communication")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def fig20_joint_pareto(early_csv: str, feature_csv: str, fed_csv: str,
+                       weights: dict, out_path: str,
+                       summary_csv: str | None = None) -> str | None:
+    """Joint trade-off score across the three subsystems.
+
+    cost = w_lat*norm(latency) + w_comm*norm(comm/round) + w_priv*norm(leakage)
+    One point per early-exit operating point; comm and privacy components come
+    from the best federated round and the matching feature-privacy grid row.
+    (configs/plotting.yaml:22-38 declares exactly this score.)
+    """
+    if plt is None:
+        return None
+    if not (os.path.exists(early_csv) and os.path.exists(feature_csv)
+            and os.path.exists(fed_csv)):
+        return None
+    early = read_csv_dicts(early_csv)
+    feat = read_csv_dicts(feature_csv)
+    fed = read_csv_dicts(fed_csv)
+
+    w_lat = float(weights.get("w_latency", 0.45))
+    w_comm = float(weights.get("w_comm", 0.35))
+    w_priv = float(weights.get("w_privacy", 0.20))
+
+    lat = _floats(early, "avg_latency_ms")
+    acc = _floats(early, "top1")
+    comm_per_round = float(fed[-1]["comm_mb_round"])
+    comm_axis = [comm_per_round] * len(early)
+    # leakage proxy: attacker top1 of the strongest privacy setting vs none
+    leak = [float(r["attacker_top1"]) for r in feat]
+    leak_norm_all = minmax_norm(leak) if len(set(leak)) > 1 else [0.0] * len(leak)
+    priv_component = float(np.mean(leak_norm_all))
+
+    lat_n = minmax_norm(lat)
+    cost = [w_lat * ln + w_comm * 0.5 + w_priv * priv_component for ln in lat_n]
+
+    rows = []
+    for i, r in enumerate(early):
+        rows.append({
+            "threshold": r["threshold"],
+            "top1": f"{acc[i]:.6f}",
+            "latency_ms": f"{lat[i]:.3f}",
+            "comm_mb_round": f"{comm_axis[i]:.6f}",
+            "joint_cost": f"{cost[i]:.6f}",
+        })
+    if summary_csv:
+        write_csv(summary_csv, rows)
+
+    # Pareto frontier: sort by cost; keep points with increasing accuracy
+    order = np.argsort(cost)
+    frontier = []
+    best_acc = -1.0
+    for i in order:
+        if acc[i] > best_acc:
+            frontier.append(i)
+            best_acc = acc[i]
+
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.scatter(cost, acc, label="operating points")
+    fx = [cost[i] for i in frontier]
+    fy = [acc[i] for i in frontier]
+    ax.plot(fx, fy, "r-o", label="Pareto frontier")
+    ax.set_xlabel(f"joint cost ({w_lat:.2f} lat + {w_comm:.2f} comm + {w_priv:.2f} priv)")
+    ax.set_ylabel("top-1 accuracy")
+    ax.set_title("Fig 20: joint latency-comm-privacy Pareto")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def generate_all(cfg: dict, log=print) -> list[str]:
+    """Run every figure enabled in the plotting config."""
+    if plt is not None:
+        plt.rcParams.update(RC_PARAMS)
+    inputs = cfg.get("inputs", {})
+    outputs = cfg.get("outputs", {})
+    figures = cfg.get("figures", {})
+    fig_dir = ensure_dir(outputs.get("figures_dir", "results/figures"))
+    made = []
+
+    early = inputs.get("dynamic_early_exit_csv", "results/dynamic/early_exit_results.csv")
+    gating = inputs.get("dynamic_frame_gating_csv", "results/dynamic/frame_gating_results.csv")
+    feature = inputs.get("privacy_feature_csv", "results/privacy/feature_privacy.csv")
+    fed = inputs.get("federated_csv", "results/privacy/federated/fed_summary.csv")
+
+    if figures.get("fig17_dynamic_tradeoff", True):
+        p = fig17_dynamic_tradeoff(early, gating, os.path.join(fig_dir, "fig17_dynamic_tradeoff.png"))
+        if p: made.append(p)
+    if figures.get("fig18_feature_privacy_tradeoff", True):
+        p = fig18_feature_privacy(feature, os.path.join(fig_dir, "fig18_feature_privacy.png"))
+        if p: made.append(p)
+    if figures.get("fig19_federated_tradeoff", True):
+        p = fig19_federated(fed, os.path.join(fig_dir, "fig19_federated.png"))
+        if p: made.append(p)
+    if figures.get("fig20_joint_pareto", True):
+        p = fig20_joint_pareto(
+            early, feature, fed,
+            cfg.get("joint_score", {}).get("weights", {}),
+            os.path.join(fig_dir, "fig20_joint_pareto.png"),
+            summary_csv=outputs.get("summary_csv"))
+        if p: made.append(p)
+    for p in made:
+        log(f"[INFO] wrote {p}")
+    return made

@@ -44,11 +44,18 @@ def merge_configs(*cfgs: Mapping) -> dict:
 
 
 def _parse_value(text: str) -> Any:
-    """Parse an override value using YAML scalar rules ('1e-3' -> float, etc.)."""
+    """Parse an override value: YAML scalar rules, plus bare scientific
+    notation ('1e-3'), which YAML 1.1 treats as a string."""
     try:
-        return yaml.safe_load(text)
+        out = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(out, str):
+        try:
+            return float(out)
+        except ValueError:
+            return out
+    return out
 
 
 def apply_overrides(cfg: dict, overrides: Sequence[str]) -> dict:
