@@ -1,24 +1,30 @@
 """Blockwise flash attention as a Pallas TPU kernel, with custom VJP.
 
 Why: XLA's naive attention materializes the [L, L] logits in HBM — for
-TinyViT stage-2 that is 640x6x784x784 floats per step (the pipeline-B OOM),
-and the MAE decoder attends over T*196 = 3136 tokens
-(ref: src/models/mae_vit_adapter.py:107; torch hides this inside SDPA,
-ref: src/models/tiny_vit.py:103). This kernel never materializes logits in
-HBM: each grid cell computes one q-block against the full K/V resident in
-VMEM, does a row softmax in registers/VMEM, and writes only the [block_q, d]
-output plus a per-row logsumexp.
+TinyViT stage-2 that is 640x6x784x784 floats per step (an OOM at batch 40),
+and even where it fits, fp32 logits round-trips dominate HBM traffic at
+short L (stage-3: ~1.2 GB per block per direction). The reference hides the
+same math inside torch SDPA (ref: src/models/tiny_vit.py:103); this kernel
+keeps logits entirely in VMEM and writes only the [block_q, d] output plus a
+per-row logsumexp.
 
-Shape regime this kernel is tuned for: L <= ~4k, d <= 128 — K/V for one
-(batch, head) fit comfortably in VMEM (3136 x 64 x 4B = 0.8 MB), so no
-online-softmax accumulation is needed; one pass per q-block is exact.
+Shape regime: L <= ~4k, d <= 128 — K/V for one (batch, head) fit in VMEM
+(3136 x 64 x 4B = 0.8 MB), so one exact pass per q-block, no online-softmax
+accumulation.
+
+Grid-cell batching (G): at short L the per-cell work is tiny and the grid
+(B*H cells) is huge, so each cell processes G (batch, head) pairs — an
+unrolled loop over the leading block dim. G=1 for long sequences (per-cell
+work already large), up to 16 at short L.
 
 Backward avoids cross-grid-cell races by splitting into two kernels:
   - dQ: grid over q-blocks (full K/V resident), using saved LSE
   - dK/dV: grid over kv-blocks (full Q/dO resident), using saved LSE + D
-where D = rowsum(dO * O) is computed with one cheap XLA reduction.
+where D = rowsum(dO * O) is one cheap XLA reduction. lse/D are stored
+[BH, 1, L] lane-oriented — a [.., 1]-shaped buffer would be 128x-padded by
+the TPU tiled HBM layout (1.6 GB of padding observed the other way).
 
-All matmuls use preferred_element_type=float32 to hit the MXU at full
+All matmuls use preferred_element_type=float32 to run the MXU at full
 precision; inputs may be bf16.
 """
 from __future__ import annotations
@@ -48,55 +54,67 @@ def _pad_to(x, size, axis):
 
 
 def _block(L: int, target: int = 512) -> int:
-    """Largest multiple-of-128 divisor of L that is <= target (L is padded
-    to a multiple of 128 by the wrapper)."""
+    """Largest multiple-of-128 divisor of L <= target (L pre-padded to 128)."""
     for b in (512, 384, 256, 128):
         if b <= target and L % b == 0:
             return b
     return min(L, 128)
 
 
+def _group(BH: int, rows: int, Lk: int, d: int, budget_mb: float = 11.0) -> int:
+    """Grid-cell batching factor: amortize per-cell overhead at short L.
+
+    Conservative per-pair VMEM estimate: resident K/V (+Q/dO for the dkv
+    kernel via ``rows``), the I/O blocks, and 1.5x one fp32 [rows, Lk]
+    logits/probs buffer (the unrolled loop may keep more than one alive).
+    """
+    per_g = (2 * Lk * d * 2) + (2 * rows * d * 2) + int(rows * Lk * 4 * 1.5)
+    budget = int(budget_mb * 1024 * 1024)
+    for g in (16, 8, 4, 2):
+        if BH % g == 0 and g * per_g <= budget:
+            return g
+    return 1
+
+
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, l_kv: int):
-    q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
-    k = k_ref[0].astype(jnp.float32)                    # [Lk, d]
-    v = v_ref[0]                                        # [Lk, d]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [bq, Lk]
-    # mask padded keys
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < l_kv, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    p = (e / denom).astype(v.dtype)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
-    # lse stored lane-oriented [1, bq]: a [.., 1]-shaped buffer would be
-    # padded 128x by the TPU tiled layout (observed 1.6 GB of pad!)
-    lse_ref[0] = jnp.transpose(m + jnp.log(denom))
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, G):
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32) * scale            # [bq, d]
+        k = k_ref[g].astype(jnp.float32)                    # [Lk, d]
+        v = v_ref[g]                                        # [Lk, d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [bq, Lk]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < l_kv, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        p = (e / denom).astype(v.dtype)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[g] = o.astype(o_ref.dtype)
+        lse_ref[g] = jnp.transpose(m + jnp.log(denom))
 
 
 def _fa_fwd_impl(q, k, v, scale, l_kv):
-    """q: [BH, Lq, d], k/v: [BH, Lk, d] (pre-padded to 128 multiples);
-    l_kv = UNPADDED key count for masking."""
+    """q: [BH, Lq, d], k/v: [BH, Lk, d] (padded to 128 multiples)."""
     BH, Lq, d = q.shape
     Lk = k.shape[1]
     bq = _block(Lq)
-    grid = (BH, Lq // bq)
+    G = _group(BH, bq, Lk, d)
+    grid = (BH // G, Lq // bq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv),
+        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv, G=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
@@ -110,49 +128,50 @@ def _fa_fwd_impl(q, k, v, scale, l_kv):
 # ---------------------------------------------------------------- backward
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dq_ref,
-               *, scale: float, l_kv: int):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)                  # [bq, d]
-    lse = jnp.transpose(lse_ref[0])                     # [1, bq] -> [bq, 1]
-    dvo = jnp.transpose(dvo_ref[0])                     # [bq, 1]  D = rowsum(dO*O)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [bq, Lk]
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - dvo)                                  # [bq, Lk]
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+               *, scale, l_kv, G):
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32) * scale
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)                  # [bq, d]
+        lse = jnp.transpose(lse_ref[g])                     # [bq, 1]
+        dvo = jnp.transpose(dvo_ref[g])                     # [bq, 1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [bq, Lk]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dvo)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[g] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dk_ref, dv_ref,
-                *, scale: float, l_kv: int):
-    q = q_ref[0].astype(jnp.float32) * scale            # [Lq, d] (full)
-    k = k_ref[0].astype(jnp.float32)                    # [bk, d]
-    do = do_ref[0].astype(jnp.float32)                  # [Lq, d]
-    lse = jnp.transpose(lse_ref[0])                     # [Lq, 1]
-    dvo = jnp.transpose(dvo_ref[0])                     # [Lq, 1]
-    kv_start = pl.program_id(1) * k.shape[0]
+                *, scale, l_kv, G):
+    kv_start = pl.program_id(1) * k_ref.shape[1]
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32) * scale            # [Lq, d] (full)
+        k = k_ref[g].astype(jnp.float32)                    # [bk, d]
+        do = do_ref[g].astype(jnp.float32)                  # [Lq, d]
+        lse = jnp.transpose(lse_ref[g])                     # [Lq, 1]
+        dvo = jnp.transpose(dvo_ref[g])                     # [Lq, 1]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [Lq, bk]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-    p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)
-    # dV_j = P^T dO
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    v = v_ref[0].astype(jnp.float32)                    # [bk, d]
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [Lq, bk]
-    ds = p * (dp - dvo)
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [bk, d]
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [Lq, bk]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [bk, d]
+        v = v_ref[g].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [Lq, bk]
+        ds = p * (dp - dvo)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [bk, d]
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv):
@@ -161,40 +180,42 @@ def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv):
     dvo = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                   axis=-1)[:, None, :]  # [BH, 1, Lq]
 
-    # backward keeps two [block, L] fp32 buffers live; halve blocks vs fwd
+    # backward keeps two [block, L] fp32 buffers live per g; halve blocks
     bq = _block(Lq, target=256)
+    G = _group(BH, bq, Lk, d)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, l_kv=l_kv),
-        grid=(BH, Lq // bq),
+        functools.partial(_dq_kernel, scale=scale, l_kv=l_kv, G=G),
+        grid=(BH // G, Lq // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
         interpret=_interpret(),
     )(q, k, v, do, lse, dvo)
 
     bk = _block(Lk, target=256)
+    Gk = _group(BH, Lq, bk, d)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, l_kv=l_kv),
-        grid=(BH, Lk // bk),
+        functools.partial(_dkv_kernel, scale=scale, l_kv=l_kv, G=Gk),
+        grid=(BH // Gk, Lk // bk),
         in_specs=[
-            pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lk, d), k.dtype),
