@@ -63,10 +63,45 @@ def split_path(cfg: dict, name: str) -> str:
 
 
 def epoch_batches(dataset: ClipDataset, batch_size: int, shuffle: bool, seed: int,
-                  epoch: int, prefetch: int = 2, drop_last: bool = True):
+                  epoch: int, prefetch: int = 2, drop_last: bool = True,
+                  sharding=None):
     it = iterate_batches(dataset, batch_size, shuffle=shuffle, seed=seed,
                          epoch=epoch, drop_last=drop_last)
-    return prefetch_to_device(it, size=prefetch)
+    return prefetch_to_device(it, size=prefetch, sharding=sharding)
+
+
+def setup_data_parallel(cfg: dict, batch_size: int, log=print):
+    """Multi-chip data parallelism: batch sharded over a ``data`` mesh axis,
+    params replicated; XLA inserts the gradient all-reduce.
+
+    Returns (mesh | None, batch_sharding | None, place_state fn).
+    Controlled by device.data_parallel: auto (default; on when >1 device) |
+    false | N (use N devices).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import make_mesh
+
+    want = cfg.get("device", {}).get("data_parallel", "auto")
+    n_dev = jax.device_count()
+    if want in (False, 0, 1) or n_dev == 1:
+        return None, None, lambda s: s
+    n = n_dev if want == "auto" else min(int(want), n_dev)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        log(f"[WARN] batch_size={batch_size} not divisible across {n_dev} devices; "
+            "running single-device")
+        return None, None, lambda s: s
+    mesh = make_mesh({"data": n})
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    log(f"[INFO] data-parallel over {n} devices: {mesh}")
+
+    def place_state(state):
+        return jax.device_put(state, repl)
+
+    return mesh, dsh, place_state
 
 
 def make_logger(cfg: dict, name: str) -> Logger:

@@ -20,7 +20,7 @@ import numpy as np
 from ..train import finetune_engine as eng
 from ..train.state import create_train_state
 from ..utils.checkpoint import save_checkpoint, restore_checkpoint, best_ckpt_name
-from ..utils.io import ensure_dir
+from ..utils.io import ensure_dir, append_csv_row
 from ..utils.prng import set_seed
 from . import common
 
@@ -70,6 +70,8 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
     tx = eng.build_finetune_tx(tr, mode, variables["params"], freeze_backbone)
     state = create_train_state(variables["params"], tx,
                                batch_stats=variables.get("batch_stats"))
+    mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
+    state = place_state(state)
     train_step = eng.make_train_step(model, tx, compute_dtype=dtype)
     eval_step = eng.make_eval_step(model, compute_dtype=dtype)
 
@@ -84,14 +86,16 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
         if two_stage and epoch == stage1_epochs + 1:
             log("[INFO] two_stage: unfreeze backbone and rebuild optimizer")
             tx = eng.build_finetune_tx(tr, mode, state.params, freeze_backbone=False)
-            state = create_train_state(state.params, tx, batch_stats=state.batch_stats)
+            state = place_state(
+                create_train_state(state.params, tx, batch_stats=state.batch_stats))
             train_step = eng.make_train_step(model, tx, compute_dtype=dtype)
 
         log(f"[INFO] Epoch {epoch}/{epochs} started")
         t0 = time.perf_counter()
         n_steps, loss_sum = 0, 0.0
         for step, batch in enumerate(
-                common.epoch_batches(train_ds, B, shuffle=True, seed=seed, epoch=epoch), 1):
+                common.epoch_batches(train_ds, B, shuffle=True, seed=seed, epoch=epoch,
+                                     sharding=batch_sharding), 1):
             state, metrics = train_step(state, batch)
             n_steps += 1
             loss_sum += float(metrics["loss"])
@@ -107,6 +111,11 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
                                                 epoch=0, drop_last=False),
                            ks=topk)
         log(f"[INFO] val " + " ".join(f"top{k}={acc[f'top{k}']:.4f}" for k in topk))
+        append_csv_row(os.path.join(save_dir, "metrics.csv"), {
+            "epoch": epoch, "mode": mode,
+            "train_loss": round(loss_sum / max(n_steps, 1), 6),
+            **{f"val_top{k}": round(acc[f"top{k}"], 6) for k in topk},
+        }, fieldnames=["epoch", "mode", "train_loss"] + [f"val_top{k}" for k in topk])
 
         if acc["top1"] > best_top1:
             best_top1 = acc["top1"]

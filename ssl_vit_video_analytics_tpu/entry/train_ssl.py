@@ -16,7 +16,7 @@ from ..models import TemporalSSL
 from ..train.ssl_engine import make_ssl_step
 from ..train.state import create_train_state, make_optimizer, warmup_cosine_schedule
 from ..utils.checkpoint import save_checkpoint
-from ..utils.io import ensure_dir
+from ..utils.io import ensure_dir, append_csv_row
 from ..utils.metrics import format_metrics
 from ..utils.prng import set_seed
 from . import common
@@ -98,9 +98,16 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
             if max_steps is not None and global_step >= max_steps:
                 break
         n = max(1, running.get("n", 1))
-        log(f"[INFO] Epoch done. ep={epoch} "
-            + format_metrics({k2: v / n for k2, v in running.items() if k2 != 'n'})
+        epoch_avg = {k2: v / n for k2, v in running.items() if k2 != "n"}
+        log(f"[INFO] Epoch done. ep={epoch} " + format_metrics(epoch_avg)
             + f" ({time.perf_counter() - t_ep:.1f}s)")
+        append_csv_row(os.path.join(save_dir, "ssl_metrics.csv"), {
+            "epoch": epoch,
+            "total": round(epoch_avg.get("loss", 0.0), 6),
+            "mfm": round(epoch_avg.get("mfm", 0.0), 6),
+            "var": round(epoch_avg.get("var", 0.0), 6),
+            "top": round(epoch_avg.get("top", 0.0), 6),
+        }, fieldnames=["epoch", "total", "mfm", "var", "top"])
         running = {}
         if epoch % save_every == 0 or epoch == epochs:
             path = save_checkpoint(save_dir, f"ssl_epoch_{epoch}", {

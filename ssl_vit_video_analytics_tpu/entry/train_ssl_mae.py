@@ -82,6 +82,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     tx = wrap_accum_and_skip(tx, accum_steps=int(tr.get("accumulation_steps", 1)))
     state = create_train_state(variables["params"], tx,
                                batch_stats=variables.get("batch_stats"))
+    mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
+    state = place_state(state)
 
     ssl = cfg.get("ssl", {})
     step_fn = make_pixel_mae_step(
@@ -105,7 +107,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         seen = 0
         metrics = None
         for step, batch in enumerate(
-                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch), 1):
+                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch,
+                                     sharding=batch_sharding), 1):
             step_key, k = jax.random.split(step_key)
             state, metrics = step_fn(state, batch, k)
             global_step += 1

@@ -185,6 +185,101 @@ def fig20_joint_pareto(early_csv: str, feature_csv: str, fed_csv: str,
     return out_path
 
 
+def fig_ssl_dynamics(ssl_metrics_csv: str, out_path: str) -> str | None:
+    """2x2 SSL training dynamics from the per-epoch metrics CSV — the
+    CSV-driven version of the reference's hardcoded figure
+    (ref: src/plotting.py:100-162)."""
+    if plt is None or not os.path.exists(ssl_metrics_csv):
+        return None
+    rows = read_csv_dicts(ssl_metrics_csv)
+    ep = _floats(rows, "epoch")
+    fig, axes = plt.subplots(2, 2, figsize=(9, 7))
+    panels = [("total", "total loss"), ("mfm", "MFM (cosine) loss"),
+              ("var", "variance loss"), ("top", "TOP loss")]
+    for ax, (key, title) in zip(axes.ravel(), panels):
+        ax.plot(ep, _floats(rows, key), "-")
+        ax.set_title(title)
+        ax.set_xlabel("epoch")
+    fig.suptitle("SSL training dynamics")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def fig_finetune_comparison(metrics_csvs: dict, out_path: str) -> str | None:
+    """Per-mode val top-1 curves (CSV-driven version of
+    ref: src/plotting.py:167-241). metrics_csvs: {mode: csv_path}."""
+    if plt is None:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 4))
+    drew = False
+    for mode, path in metrics_csvs.items():
+        if not os.path.exists(path):
+            continue
+        rows = read_csv_dicts(path)
+        ax.plot(_floats(rows, "epoch"), _floats(rows, "val_top1"), "-o",
+                markersize=3, label=mode)
+        drew = True
+    if not drew:
+        plt.close(fig)
+        return None
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("val top-1")
+    ax.set_title("Finetune mode comparison")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def fig_statistical_analysis(metrics_csvs: dict, out_path: str) -> str | None:
+    """Regression of val-top1 vs epoch + cross-metric correlation heatmap —
+    CSV-driven counterpart of ref: src/plotting.py:246-317."""
+    if plt is None:
+        return None
+    series = {}
+    for mode, path in metrics_csvs.items():
+        if os.path.exists(path):
+            rows = read_csv_dicts(path)
+            if len(rows) >= 2:
+                series[mode] = (np.array(_floats(rows, "epoch")),
+                                np.array(_floats(rows, "val_top1")),
+                                np.array(_floats(rows, "train_loss")))
+    if not series:
+        return None
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for mode, (ep, top1, _) in series.items():
+        coef = np.polyfit(ep, top1, 1)
+        axes[0].scatter(ep, top1, s=10, label=f"{mode} (slope {coef[0]:+.4f}/ep)")
+        axes[0].plot(ep, np.polyval(coef, ep), "--", alpha=0.6)
+    axes[0].set_xlabel("epoch")
+    axes[0].set_ylabel("val top-1")
+    axes[0].set_title("learning-rate-of-progress regression")
+    axes[0].legend(fontsize=7)
+
+    names, mat = [], []
+    for mode, (ep, top1, loss) in series.items():
+        names.append(mode)
+        mat.append([np.corrcoef(ep, top1)[0, 1], np.corrcoef(loss, top1)[0, 1]])
+    mat = np.array(mat)
+    im = axes[1].imshow(mat, cmap="coolwarm", vmin=-1, vmax=1, aspect="auto")
+    axes[1].set_xticks([0, 1], ["corr(epoch, top1)", "corr(loss, top1)"],
+                       rotation=20)
+    axes[1].set_yticks(range(len(names)), names)
+    for i in range(mat.shape[0]):
+        for j in range(mat.shape[1]):
+            axes[1].text(j, i, f"{mat[i, j]:+.2f}", ha="center", va="center",
+                         fontsize=8)
+    fig.colorbar(im, ax=axes[1])
+    axes[1].set_title("metric correlations")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def generate_all(cfg: dict, log=print) -> list[str]:
     """Run every figure enabled in the plotting config."""
     if plt is not None:
@@ -215,6 +310,22 @@ def generate_all(cfg: dict, log=print) -> list[str]:
             cfg.get("joint_score", {}).get("weights", {}),
             os.path.join(fig_dir, "fig20_joint_pareto.png"),
             summary_csv=outputs.get("summary_csv"))
+        if p: made.append(p)
+    if figures.get("fig_ssl_dynamics", True):
+        p = fig_ssl_dynamics(
+            inputs.get("ssl_metrics_csv", "results/ema_ssl_vicreg/ssl_metrics.csv"),
+            os.path.join(fig_dir, "fig_ssl_dynamics.png"))
+        if p: made.append(p)
+    ft_root = inputs.get("finetune_metrics_root", "results/finetune")
+    ft_csvs = {m: os.path.join(ft_root, m, "metrics.csv")
+               for m in ("ft_random", "linear_probe", "ft_ssl", "two_stage")}
+    if figures.get("fig_finetune_comparison", True):
+        p = fig_finetune_comparison(ft_csvs,
+                                    os.path.join(fig_dir, "fig_finetune_comparison.png"))
+        if p: made.append(p)
+    if figures.get("fig_statistical_analysis", True):
+        p = fig_statistical_analysis(ft_csvs,
+                                     os.path.join(fig_dir, "fig_statistical_analysis.png"))
         if p: made.append(p)
     for p in made:
         log(f"[INFO] wrote {p}")
