@@ -87,6 +87,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
         model, tx, tokens_per_frame=P, mask_mode=str(mae.get("mask_mode", "tube")),
         loss_type=str(loss_cfg.get("type", "l2")),
         normalize_target=bool(loss_cfg.get("normalize_target", True)),
+        augment_hflip=bool(cfg.get("dataset", {}).get("augment", False)),
         compute_dtype=dtype)
 
     start_epoch, best = 1, None

@@ -75,13 +75,16 @@ def make_token_mae_step(
     mask_mode: str = "random",
     loss_type: str = "l2",
     normalize_target: bool = True,
+    augment_hflip: bool = False,
     compute_dtype=jnp.float32,
 ):
     """Pipeline-C step: token mask -> TinyViTMAE -> masked feature loss.
 
     mask_ratio is passed per-call (donated as a traced scalar) so the
     epoch-indexed schedule (ref: configs/mae_train.yaml mask-ratio schedule)
-    does NOT retrigger compilation.
+    does NOT retrigger compilation. ``augment_hflip`` applies the reference's
+    clip-level p=0.5 horizontal flip (ref: src/datasets/mae_dataset.py:118) —
+    on device, per sample, from the step key.
     """
     loss_fn_masked = build_mae_loss(loss_type, normalize_target=normalize_target)
 
@@ -90,7 +93,10 @@ def make_token_mae_step(
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
         N = T * tokens_per_frame
-        k_mask, k_drop = jax.random.split(rng)
+        k_mask, k_drop, k_flip = jax.random.split(rng, 3)
+        if augment_hflip:
+            flip = jax.random.bernoulli(k_flip, 0.5, (B, 1, 1, 1, 1))
+            clip = jnp.where(flip, clip[:, :, :, ::-1, :], clip)
         # traced-ratio variant of make_token_mask: rank-vs-count comparison
         noise = jax.random.uniform(k_mask, (B, N) if mask_mode == "random" else (B, tokens_per_frame))
         order = jnp.argsort(noise, axis=-1, descending=True)
