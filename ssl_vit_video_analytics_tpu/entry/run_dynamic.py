@@ -28,6 +28,12 @@ from ..utils.io import write_csv, ensure_dir
 from ..utils.prng import set_seed
 from . import common
 
+# CSV headers, byte-compatible with the reference outputs
+# (ref: src/run_dynamic.py:89,179,259)
+EARLY_EXIT_FIELDS = ("threshold", "top1", "top5", "avg_frames", "avg_conf", "avg_latency_ms")
+FRAME_GATING_FIELDS = ("topk", "score", "top1", "top5", "avg_latency_ms")
+HYBRID_FIELDS = ("topk", "threshold", "top1", "top5", "avg_frames", "avg_latency_ms")
+
 
 def _load_classifier(cfg: dict, dtype, clip_shape, log):
     model = eng.build_model(int(cfg["dataset"]["num_classes"]),

@@ -37,6 +37,13 @@ from ..utils.io import write_csv, ensure_dir
 from ..utils.prng import set_seed
 from . import common
 
+# CSV headers, byte-compatible with the reference outputs
+# (ref: src/run_federated.py:343-349, :361-363; src/train_centralized :172-180)
+FED_SUMMARY_FIELDS = ("round", "val_top1", "val_top5", "avg_local_loss",
+                      "clients", "model_mb", "comm_mb_round", "comm_mb_total")
+CENTRALIZED_FIELDS = ("epoch", "train_loss", "val_top1", "val_top5")
+SYSTEM_PRIVACY_FIELDS = ("raw_upload_mb_est", "fed_comm_total_mb", "reduction_ratio")
+
 
 def _build_round_sampler(client_datasets, batch_size: int, local_epochs: int,
                          clip_shape, seed: int):
@@ -127,7 +134,7 @@ def _centralized_baseline(cfg: dict, train_split: str, val_ds, out_dir: str, log
         rows.append({"epoch": ep, "train_loss": round(avg_loss, 6),
                      "val_top1": round(acc["top1"], 6), "val_top5": round(acc["top5"], 6)})
     out_csv = os.path.join(out_dir, "centralized_summary.csv")
-    write_csv(out_csv, rows, fieldnames=["epoch", "train_loss", "val_top1", "val_top5"])
+    write_csv(out_csv, rows, fieldnames=list(CENTRALIZED_FIELDS))
     log(f"[INFO] Saved centralized summary: {out_csv}")
     return rows
 
@@ -225,9 +232,7 @@ def run(cfg: dict, log=print) -> dict:
             "comm_mb_total": round(float(comm_total), 6),
         })
     fed_csv = os.path.join(out_dir, "fed_summary.csv")
-    write_csv(fed_csv, rows, fieldnames=[
-        "round", "val_top1", "val_top5", "avg_local_loss", "clients",
-        "model_mb", "comm_mb_round", "comm_mb_total"])
+    write_csv(fed_csv, rows, fieldnames=list(FED_SUMMARY_FIELDS))
     log(f"[INFO] Saved federated summary: {fed_csv}")
 
     # system-level privacy proxy
@@ -244,8 +249,7 @@ def run(cfg: dict, log=print) -> dict:
         "reduction_ratio": round(comm_total / raw_mb, 6) if raw_mb else "",
     }]
     sys_csv = os.path.join(out_dir, "system_privacy_summary.csv")
-    write_csv(sys_csv, sys_rows, fieldnames=[
-        "raw_upload_mb_est", "fed_comm_total_mb", "reduction_ratio"])
+    write_csv(sys_csv, sys_rows, fieldnames=list(SYSTEM_PRIVACY_FIELDS))
     log(f"[INFO] Saved system privacy summary: {sys_csv}")
     return {"records": rows, "fed_csv": fed_csv}
 

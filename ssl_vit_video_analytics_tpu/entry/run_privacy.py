@@ -37,6 +37,15 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+# CSV headers, byte-compatible with the reference outputs
+# (ref: src/run_privacy.py:204-219, :345-347)
+VISUAL_FIELDS = ("frame_root", "total_frames", "frames_with_face_before",
+                 "frames_with_face_after", "avg_faces_before", "avg_faces_after",
+                 "face_frame_rate_before", "face_frame_rate_after",
+                 "flr_conditional", "per_relative", "seconds", "overwrite_saved_root")
+FEATURE_FIELDS = ("sigma", "mask_ratio", "top1", "top5", "entropy",
+                  "attacker_top1", "per_vs_clean")
+
 
 def scan_images(frame_root: str, max_images: int, seed: int) -> list[str]:
     """Recursively gather image paths, seeded subsample
@@ -215,8 +224,7 @@ def run_feature_privacy(cfg: dict, save_dir: str, log=print) -> str:
             log(f"[INFO] sigma={sigma} mask={mask_ratio} | top1={top1:.4f} "
                 f"top5={top5:.4f} | attacker={attacker_top1:.4f} | ent={ent:.4f}")
 
-    write_csv(out_csv, rows, fieldnames=["sigma", "mask_ratio", "top1", "top5",
-                                         "entropy", "attacker_top1", "per_vs_clean"])
+    write_csv(out_csv, rows, fieldnames=list(FEATURE_FIELDS))
     log(f"[INFO] Saved feature privacy CSV: {out_csv}")
     return out_csv
 

@@ -53,6 +53,18 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     dtype = common.compute_dtype_from(cfg)
     log(f"[INFO] ssl_mae: backend={jax.default_backend()} dtype={dtype.__name__}")
 
+    # Observability (SURVEY.md §5.1 parity): TensorBoard scalars like the
+    # reference (ref: src/train_ssl_mae.py:10,119-121,135) + optional
+    # jax.profiler trace of the first steps.
+    tb = None
+    if cfg.get("logging", {}).get("tensorboard", False):
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(cfg["training"].get("save_dir", "results/tinymae_v1"))
+        except ImportError:
+            log("[WARN] tensorboardX unavailable; skipping TB logging")
+    profile_dir = cfg.get("logging", {}).get("profile_dir")
+
     ds = common.dataset_from_cfg(cfg, common.split_path(cfg, cfg["dataset"]["train_split"]),
                                  "ssl", seed=seed)
     tr = cfg["training"]
@@ -102,6 +114,11 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     global_step = 0
     t_start = time.perf_counter()
     last_loss = float("nan")
+    profiling = False
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
+        log(f"[INFO] profiling first steps to {profile_dir}")
     for epoch in range(1, epochs + 1):
         t_ep = time.perf_counter()
         seen = 0
@@ -113,15 +130,23 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
             state, metrics = step_fn(state, batch, k)
             global_step += 1
             seen += B
+            if profiling and global_step >= 8:
+                jax.profiler.stop_trace()
+                profiling = False
+                log("[INFO] profiler trace written")
             if step % log_interval == 0:
-                jax.block_until_ready(metrics["loss"])
+                # NOTE: float() forces a real host sync (block_until_ready is
+                # not reliable through the axon tunnel)
+                last_loss = float(metrics["loss"])
                 dt = time.perf_counter() - t_ep
                 ips = seen / max(dt, 1e-9)
                 eta = (steps_per_epoch - step) * (dt / step)
-                last_loss = float(metrics["loss"])
                 log(f"[INFO] ep={epoch} step={step}/{steps_per_epoch} "
                     f"loss={last_loss:.4f} pred_std={float(metrics['pred_std']):.4f} "
                     f"clips/s={ips:.1f} eta={eta:.0f}s")
+                if tb is not None:
+                    tb.add_scalar("Train/Loss", last_loss, global_step)
+                    tb.add_scalar("Train/Throughput", ips, global_step)
                 if float(metrics["collapse"]) > 0:
                     log("[WARN:pred_std_low] possible representation collapse")
             if max_steps is not None and global_step >= max_steps:
@@ -140,6 +165,10 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         if max_steps is not None and global_step >= max_steps:
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
+    if tb is not None:
+        tb.close()
     total = time.perf_counter() - t_start
     return {"steps": global_step, "seconds": total, "last_loss": last_loss}
 

@@ -80,11 +80,13 @@ def _group(BH: int, rows: int, Lk: int, d: int, budget_mb: float = 11.0) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, G):
     for g in range(G):
-        q = q_ref[g].astype(jnp.float32) * scale            # [bq, d]
-        k = k_ref[g].astype(jnp.float32)                    # [Lk, d]
+        # operands stay in input dtype (bf16): MXU runs bf16-in/fp32-accum at
+        # full rate; fp32-in matmuls are ~8x slower on v5e
+        q = q_ref[g] * jnp.asarray(scale, q_ref.dtype)      # [bq, d]
+        k = k_ref[g]                                        # [Lk, d]
         v = v_ref[g]                                        # [Lk, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq, Lk]
+                                preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < l_kv, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -130,19 +132,17 @@ def _fa_fwd_impl(q, k, v, scale, l_kv):
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dq_ref,
                *, scale, l_kv, G):
     for g in range(G):
-        q = q_ref[g].astype(jnp.float32) * scale
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        do = do_ref[g].astype(jnp.float32)                  # [bq, d]
+        q = q_ref[g] * jnp.asarray(scale, q_ref.dtype)
+        k, v, do = k_ref[g], v_ref[g], do_ref[g]
         lse = jnp.transpose(lse_ref[g])                     # [bq, 1]
         dvo = jnp.transpose(dvo_ref[g])                     # [bq, 1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [bq, Lk]
+        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [bq, Lk] f32
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - dvo)
+        ds = (p * (dp - dvo)).astype(k.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dq_ref[g] = (dq * scale).astype(dq_ref.dtype)
@@ -152,22 +152,21 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dk_ref, dv_ref,
                 *, scale, l_kv, G):
     kv_start = pl.program_id(1) * k_ref.shape[1]
     for g in range(G):
-        q = q_ref[g].astype(jnp.float32) * scale            # [Lq, d] (full)
-        k = k_ref[g].astype(jnp.float32)                    # [bk, d]
-        do = do_ref[g].astype(jnp.float32)                  # [Lq, d]
+        q = q_ref[g] * jnp.asarray(scale, q_ref.dtype)      # pre-scaled
+        k, v, do = k_ref[g], v_ref[g], do_ref[g]
         lse = jnp.transpose(lse_ref[g])                     # [Lq, 1]
         dvo = jnp.transpose(dvo_ref[g])                     # [Lq, 1]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [Lq, bk]
+                                preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)
-        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [Lq, bk] f32
+        p_lo = p.astype(do.dtype)
+        dv = jax.lax.dot_general(p_lo, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bk, d]
-        v = v_ref[g].astype(jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [Lq, bk]
-        ds = p * (dp - dvo)
+        ds = (p * (dp - dvo)).astype(q.dtype)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bk, d]
         dk_ref[g] = dk.astype(dk_ref.dtype)

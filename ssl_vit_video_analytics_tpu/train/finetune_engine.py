@@ -102,7 +102,7 @@ def make_train_step(model: VideoClassifier, tx: optax.GradientTransformation,
                     compute_dtype=jnp.float32):
     """One jitted supervised step: normalize -> forward -> CE -> update."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         labels = batch["label"]

@@ -13,6 +13,8 @@ representation-collapse detector (pred_std < 0.05 -> [WARN:pred_std_low],
 """
 from __future__ import annotations
 
+import functools
+
 from typing import Callable
 
 import jax
@@ -39,7 +41,7 @@ def make_pixel_mae_step(
     """Pipeline-B step: tube mask -> TinyVideoMAE -> masked MSE on pixels
     (ref: src/train_ssl_mae.py:66-89)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict, rng: jax.Array):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
@@ -88,7 +90,7 @@ def make_token_mae_step(
     """
     loss_fn_masked = build_mae_loss(loss_type, normalize_target=normalize_target)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict, rng: jax.Array, mask_ratio: jax.Array):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]

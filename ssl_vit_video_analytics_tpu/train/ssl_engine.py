@@ -17,6 +17,8 @@ compiled step functions (the reference's ``step % top_every`` gate, :224).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,7 +91,7 @@ def make_ssl_step(model, tx: optax.GradientTransformation, ssl_cfg: dict,
     top_detach = bool(ssl_cfg.get("top_detach_backbone", False))
     ema_momentum = float(ssl_cfg.get("ema_momentum", 0.996))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict, rng: jax.Array):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
