@@ -13,7 +13,6 @@ import os
 
 import numpy as np
 
-from .frames import pack_frame_dir
 from .splits import write_split
 
 try:

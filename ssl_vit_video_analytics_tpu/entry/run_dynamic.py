@@ -18,7 +18,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.dynamic import select_topk_frames, streaming_early_exit

@@ -15,14 +15,10 @@ from __future__ import annotations
 
 import math
 import os
-import random
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..data.loader import ClipDataset
 from ..data.splits import make_class_shard_splits
 from ..federated import (
     make_parallel_client_update, run_fedavg, estimate_comm_mb_per_round,

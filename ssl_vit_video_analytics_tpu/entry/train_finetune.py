@@ -14,8 +14,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..train import finetune_engine as eng
 from ..train.state import create_train_state

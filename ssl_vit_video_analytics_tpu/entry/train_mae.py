@@ -23,7 +23,7 @@ from ..train.state import TrainState, create_train_state, make_optimizer, warmup
 from ..utils.checkpoint import (
     save_checkpoint, restore_checkpoint, keep_last_n_checkpoints, find_latest_checkpoint,
 )
-from ..utils.config import config_hash, save_config
+from ..utils.config import save_config
 from ..utils.io import ensure_dir
 from ..utils.metrics import update_best, format_metrics
 from ..utils.prng import set_seed

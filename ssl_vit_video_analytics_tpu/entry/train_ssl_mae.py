@@ -10,7 +10,6 @@ Usage:
 """
 from __future__ import annotations
 
-import os
 import time
 
 import jax

@@ -10,7 +10,7 @@ dtype-parameterized: params live in fp32, compute runs in ``dtype``
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -233,7 +233,6 @@ def adaptive_avg_pool_nhwc(x: jax.Array, out_size: int) -> jax.Array:
     if H % s == 0 and W % s == 0:
         return jnp.mean(x.reshape(B, s, H // s, s, W // s, C), axis=(2, 4))
     # General case: torch-style variable bins [floor(i*H/s), ceil((i+1)*H/s))
-    import numpy as np
     out = []
     for i in range(s):
         h0, h1 = (i * H) // s, -(-((i + 1) * H) // s)

@@ -7,7 +7,6 @@ they compose into any jitted inference/eval step.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def add_gaussian_noise(key: jax.Array, z: jax.Array, sigma: float) -> jax.Array:

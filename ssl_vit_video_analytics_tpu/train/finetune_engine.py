@@ -20,7 +20,7 @@ import optax
 from ..models import VideoClassifier, MobileViTBackbone
 from ..ops.preprocess import normalize_clip
 from ..utils.metrics import topk_accuracy
-from .state import TrainState, create_train_state, make_optimizer, apply_updates
+from .state import TrainState, make_optimizer, apply_updates
 
 VALID_MODES = ("ft_random", "linear_probe", "ft_ssl", "two_stage")
 

@@ -15,13 +15,11 @@ from __future__ import annotations
 
 import functools
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..data.masking import get_tube_mask, make_token_mask
+from ..data.masking import get_tube_mask
 from ..ops.patchify import patchify
 from ..ops.preprocess import normalize_clip
 from .losses import build_mae_loss, mae_loss_l2, reconstruction_error_stats

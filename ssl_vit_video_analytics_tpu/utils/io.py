@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import csv
 import os
-import sys
 import time
 from dataclasses import dataclass, field
 from typing import IO, Mapping, Sequence
