@@ -1,0 +1,61 @@
+"""Entry-point smoke tests: each SSL pipeline's run() takes steps and
+returns finite losses on the synthetic fixture."""
+import numpy as np
+
+from ssl_vit_video_analytics_tpu.entry import train_ssl, train_ssl_mae, train_mae
+
+
+def base_cfg(synth_data, tmp_path):
+    return {
+        "seed": 42,
+        "device": {"compute_dtype": "float32", "data_parallel": False},
+        "dataset": {"backend": "packed", "train_split": synth_data["train"],
+                    "clip_len": 4, "stride": 2, "image_size": 32},
+        "paths": {"log_dir": str(tmp_path / "logs"), "split_root": ""},
+    }
+
+
+def test_train_ssl_mae_smoke(synth_data, tmp_path):
+    cfg = base_cfg(synth_data, tmp_path)
+    cfg["model"] = {"type": "tiny_vit_21m_variant", "embed_dims": [8, 16, 24, 32],
+                    "decoder_embed_dim": 16, "decoder_depth": 1,
+                    "decoder_num_heads": 2, "use_checkpoint": False}
+    cfg["ssl"] = {"mask_ratio": 0.9, "mask_strategy": "tube", "norm_pix_loss": True}
+    cfg["training"] = {"epochs": 1, "batch_size": 4, "accumulation_steps": 1,
+                       "lr": 1e-3, "min_lr": 0.0, "warmup_epochs": 0,
+                       "weight_decay": 0.05, "save_dir": str(tmp_path / "b"),
+                       "save_every": 10, "log_interval": 100}
+    out = train_ssl_mae.run(cfg, log=lambda *_: None, max_steps=2)
+    assert out["steps"] == 2 and np.isfinite(out["last_loss"])
+
+
+def test_train_mae_smoke(synth_data, tmp_path):
+    cfg = base_cfg(synth_data, tmp_path)
+    cfg["model"] = {"use_checkpoint": False}
+    cfg["training"] = {"epochs": 1, "batch_size": 4, "grad_accum": 1,
+                       "clip_grad_norm": 1.0, "lr": 1e-3, "min_lr": 0.0,
+                       "weight_decay": 0.05, "warmup_epochs": 0,
+                       "save_every": 10, "keep_last": 1, "log_interval": 100}
+    cfg["output"] = {"dir": str(tmp_path / "c")}
+    cfg["mae"] = {"stage4_pool": 2, "mask_mode": "tube", "mask_ratio": 0.8,
+                  "loss": {"type": "l2", "normalize_target": True},
+                  "decoder": {"dim": 16, "depth": 1, "num_heads": 2, "mlp_ratio": 2.0},
+                  "vis_every": 0}
+    out = train_mae.run(cfg, log=lambda *_: None, max_steps=2, resume=False)
+    assert out["steps"] == 2
+
+
+def test_train_ssl_smoke(synth_data, tmp_path):
+    cfg = base_cfg(synth_data, tmp_path)
+    cfg["model"] = {"embed_dim": 16, "temporal_layers": 1, "temporal_heads": 2}
+    cfg["training"] = {"epochs": 1, "batch_size": 4, "learning_rate": 1e-3,
+                       "weight_decay": 0.05, "save_every": 10,
+                       "save_dir": str(tmp_path / "a"), "clip_grad_norm": 1.0,
+                       "log_interval": 100,
+                       "scheduler": {"enable": False}}
+    cfg["ssl_objectives"] = {"mask_ratio": 0.75, "mfm_weight": 1.0,
+                             "ema_momentum": 0.99, "var_weight": 25.0,
+                             "top_weight": 1.0, "top_start_epoch": 1,
+                             "top_every": 2, "top_subsample": 0.5}
+    out = train_ssl.run(cfg, log=lambda *_: None, max_steps=2)
+    assert out["steps"] == 2
