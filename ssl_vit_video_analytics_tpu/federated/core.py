@@ -4,10 +4,10 @@ The reference simulates federated learning: N client models on ONE device,
 trained sequentially, state dicts averaged in-process on CPU
 (ref: src/run_federated.py:270-325, src/federated/fed_loop.py:65-147). Here
 clients are data: per-client parameter trees are STACKED on a leading axis
-that is sharded over the mesh's ``client`` axis, local training is a
-vmapped-and-jitted scan running all clients simultaneously (each client's
-shard trains on its own devices), and FedAvg aggregation is a weighted
-reduction over the client axis — XLA lowers it to an ICI all-reduce.
+that is sharded over the mesh's ``client`` axis, local training runs
+simultaneously on every client's shard via shard_map, and FedAvg aggregation
+is a weighted reduction over the client axis — XLA lowers it to an ICI
+all-reduce.
 
 Aggregation dtype rules match the reference exactly
 (ref: src/federated/fed_loop.py:46-58): floating leaves get the
@@ -66,19 +66,26 @@ def make_parallel_client_update(
     lr: float,
     weight_decay: float,
     normalize_fn: Callable,
-    client_axis: str | None = None,
+    client_axis: str = "client",
 ):
     """Build the jitted all-clients-at-once local update.
 
     Each client gets a FRESH AdamW per round (ref: src/federated/client_sim.py:36)
     — tx.init happens inside, so no optimizer state crosses rounds.
 
-    Inputs (stacked on axis 0 = clients, shard it over the mesh client axis):
+    Inputs (stacked on axis 0 = clients, sharded over the mesh client axis):
       params/batch_stats: [N, ...] trees
       clips:  [N, S, B, T, H, W, 3] uint8
       labels: [N, S, B] int32
       valid:  [N, S, B] bool   (padding mask; clients have ragged step counts)
     Returns (new_params, new_batch_stats, avg_loss [N]).
+
+    Parallelism is shard_map over the mesh's ``client`` axis with an unrolled
+    loop over the device-local clients — NOT vmap: vmapping a conv turns it
+    into a grouped conv whose feature_group_count must divide the channel
+    count, which breaks for arbitrary client counts (observed at N=6).
+    Call under ``with mesh:`` when a client mesh is active; without an active
+    mesh it runs the same loop on one device.
     """
     tx = optax.adamw(float(lr), weight_decay=float(weight_decay))
 
@@ -119,7 +126,43 @@ def make_parallel_client_update(
         avg_loss = jnp.sum(loss_sums) / jnp.maximum(jnp.sum(counts), 1.0)
         return params, batch_stats, avg_loss
 
-    return jax.jit(jax.vmap(one_client))
+    def local_loop(params, batch_stats, clips, labels, valid):
+        """Unrolled loop over the (static) leading client dim of one shard."""
+        n_local = clips.shape[0]
+        outs = []
+        for i in range(n_local):
+            p_i = jax.tree.map(lambda x: x[i], params)
+            bs_i = jax.tree.map(lambda x: x[i], batch_stats)
+            outs.append(one_client(p_i, bs_i, clips[i], labels[i], valid[i]))
+        stack = lambda *xs: jnp.stack(xs)
+        new_p = jax.tree.map(stack, *[o[0] for o in outs]) if n_local > 1 \
+            else jax.tree.map(lambda x: x[None], outs[0][0])
+        new_bs = jax.tree.map(stack, *[o[1] for o in outs]) if n_local > 1 \
+            else jax.tree.map(lambda x: x[None], outs[0][1])
+        losses = jnp.stack([o[2] for o in outs])
+        return new_p, new_bs, losses
+
+    def parallel_update(params, batch_stats, clips, labels, valid):
+        mesh = None
+        from jax._src import mesh as mesh_lib
+        ctx_mesh = mesh_lib.thread_resources.env.physical_mesh
+        if ctx_mesh is not None and not ctx_mesh.empty and client_axis in ctx_mesh.axis_names:
+            mesh = ctx_mesh
+        if mesh is None or mesh.shape[client_axis] == 1:
+            return jax.jit(local_loop)(params, batch_stats, clips, labels, valid)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        spec = P(client_axis)
+        # check_vma=False: the fresh per-round optimizer state is created
+        # inside the mapped function (device-invariant constants), which the
+        # varying-axis checker would reject when mixed into the scan carry.
+        fn = shard_map(local_loop, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec, spec),
+                       out_specs=(spec, spec, spec),
+                       check_vma=False)
+        return jax.jit(fn)(params, batch_stats, clips, labels, valid)
+
+    return parallel_update
 
 
 def run_fedavg_round(

@@ -40,3 +40,49 @@ def test_dp_step_matches_single_device():
     assert abs(loss_single - loss_dp) < 1e-5
     for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)  # cross-device reduction order
+
+
+def test_tp_step_matches_replicated():
+    """TP-sharded decoder params must produce the same loss as replicated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ssl_vit_video_analytics_tpu.models import TinyViT, TinyVideoMAE
+    from ssl_vit_video_analytics_tpu.parallel.tp import shard_params_tp, count_sharded
+    from ssl_vit_video_analytics_tpu.parallel.mesh import make_mesh
+    from ssl_vit_video_analytics_tpu.train.mae_engine import make_pixel_mae_step
+    from ssl_vit_video_analytics_tpu.train.state import create_train_state, make_optimizer
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    enc = TinyViT(embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+                  num_heads=(1, 2, 2, 2), use_checkpoint=False, drop_path_rate=0.0)
+    model = TinyVideoMAE(encoder=enc, clip_len=2, img_size=32, patch_size=8,
+                         decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2)
+    B, T, S, L = 4, 2, 32, 16
+    v = jax.jit(lambda k: model.init(k, jnp.zeros((B, T, S, S, 3)),
+                                     jnp.zeros((B, T, L), bool)))(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batch = {"clip": rng.integers(0, 255, (B, T, S, S, 3), dtype=np.uint8)}
+
+    def run(shard_tp):
+        vv = jax.tree.map(jnp.array, v)
+        tx = make_optimizer(1e-3)
+        params = vv["params"]
+        bs = vv["batch_stats"]
+        if shard_tp:
+            mesh = make_mesh({"data": 2, "model": jax.device_count() // 2})
+            n_sh, _ = count_sharded(params, mesh)
+            assert n_sh > 0, "no params matched the TP rules"
+            params = shard_params_tp(params, mesh)
+            bs = jax.device_put(bs, NamedSharding(mesh, P()))
+            b = {"clip": jax.device_put(batch["clip"], NamedSharding(mesh, P("data")))}
+        else:
+            b = {"clip": jnp.asarray(batch["clip"])}
+        state = create_train_state(params, tx, batch_stats=bs)
+        step = make_pixel_mae_step(model, tx, mask_ratio=0.75, patch_size=8)
+        _, m = step(state, b, jax.random.key(7))
+        return float(m["loss"])
+
+    l_repl = run(False)
+    l_tp = run(True)
+    assert abs(l_repl - l_tp) < 1e-4
