@@ -165,14 +165,24 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.attention import resolve_impl
         B, L, D = x.shape
         kd = self.key_dim or D // self.num_heads
         out_dim = self.out_dim or D
-        qkv = nn.Dense(3 * self.num_heads * kd, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, L, 3, self.num_heads, kd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        o = sdpa(q, k, v, impl=self.attn_impl)  # [B, L, H, kd]
-        o = o.reshape(B, L, self.num_heads * kd)
+        HD = self.num_heads * kd
+        qkv = nn.Dense(3 * HD, dtype=self.dtype, name="qkv")(x)
+        if resolve_impl(self.attn_impl, L) == "pallas":
+            # packed-head path: thirds of the fused qkv output are contiguous
+            # [B, L, H*kd] slices — no head-split reshape, no transposes, no
+            # 4x lane padding (see ops/flash_attention.py docstring)
+            from ..ops.flash_attention import flash_attention_packed
+            o = flash_attention_packed(
+                qkv[..., :HD], qkv[..., HD:2 * HD], qkv[..., 2 * HD:],
+                self.num_heads)
+        else:
+            qkv = qkv.reshape(B, L, 3, self.num_heads, kd)
+            o = sdpa(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], impl="xla")
+            o = o.reshape(B, L, HD)
         return nn.Dense(out_dim, dtype=self.dtype, name="proj")(o)
 
 

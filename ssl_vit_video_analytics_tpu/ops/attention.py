@@ -29,21 +29,22 @@ def set_default_impl(impl: str | None) -> None:
     _DEFAULT_IMPL = impl
 
 
-def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, impl: str | None = None) -> jax.Array:
-    """softmax(q k^T / sqrt(Dh)) v over [B, L, H, Dh] inputs.
+def resolve_impl(impl: str | None, kv_len: int) -> str:
+    """Resolve the attention backend for a given kv length.
 
-    impl=None -> module default; the module default of None auto-selects the
-    Pallas flash kernel on TPU (1.45x faster fwd+bwd at the 3136-token MAE
-    decoder shape and no [L, L] logits in HBM) and XLA elsewhere.
+    None -> auto: the packed-layout Pallas flash kernel on TPU (no [L, L]
+    logits in HBM, no head-split lane padding, no layout transposes), XLA on
+    CPU (interpret-mode pallas is only for tests).
     """
     impl = impl or _DEFAULT_IMPL
     if impl is None:
-        # Measured on v5e (640-frame TinyViT stages, fwd+bwd): XLA wins at
-        # short L (196: 274ms vs 361ms) but OOMs on the [L, L] logits at
-        # L=784; the flash kernel is both faster and O(L) memory at long L
-        # (3136: 59ms vs 86ms). Crossover set at 512.
-        long_seq = k.shape[1] >= 512
-        impl = "pallas" if (jax.default_backend() == "tpu" and long_seq) else "xla"
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, impl: str | None = None) -> jax.Array:
+    """softmax(q k^T / sqrt(Dh)) v over [B, L, H, Dh] inputs."""
+    impl = resolve_impl(impl, k.shape[1])
     if impl == "pallas":
         from .flash_attention import flash_attention
         return flash_attention(q, k, v)

@@ -3,29 +3,29 @@
 Why: XLA's naive attention materializes the [L, L] logits in HBM — for
 TinyViT stage-2 that is 640x6x784x784 floats per step (an OOM at batch 40),
 and even where it fits, fp32 logits round-trips dominate HBM traffic at
-short L (stage-3: ~1.2 GB per block per direction). The reference hides the
-same math inside torch SDPA (ref: src/models/tiny_vit.py:103); this kernel
-keeps logits entirely in VMEM and writes only the [block_q, d] output plus a
-per-row logsumexp.
+short L. The reference hides the same math inside torch SDPA
+(ref: src/models/tiny_vit.py:103); this kernel keeps logits entirely in VMEM
+and writes only the output plus a per-row logsumexp.
 
-Shape regime: L <= ~4k, d <= 128 — K/V for one (batch, head) fit in VMEM
-(3136 x 64 x 4B = 0.8 MB), so one exact pass per q-block, no online-softmax
-accumulation.
+LAYOUT IS THE POINT. TPU HBM/VMEM layouts tile the last dim to 128 lanes, so
+a head-split array [B, L, H, 32] is 4x padded everywhere it touches memory,
+and the [B,L,H,d] -> [B*H,L,d] transposes cost ~16 ms per call at TinyViT
+shapes (measured). These kernels therefore work on the PACKED layout
+[B, L, H*d] — exactly what the fused qkv Dense produces — and slice each
+head's d lanes *inside* the kernel (a static lane slice, free). No transposes,
+no padding, anywhere.
 
-Grid-cell batching (G): at short L the per-cell work is tiny and the grid
-(B*H cells) is huge, so each cell processes G (batch, head) pairs — an
-unrolled loop over the leading block dim. G=1 for long sequences (per-cell
-work already large), up to 16 at short L.
+Shape regime: L <= ~4k, H*d <= ~768 — K/V for one batch row fit in VMEM, so
+one exact pass per (q-block, head), no online-softmax accumulation.
 
 Backward avoids cross-grid-cell races by splitting into two kernels:
   - dQ: grid over q-blocks (full K/V resident), using saved LSE
   - dK/dV: grid over kv-blocks (full Q/dO resident), using saved LSE + D
 where D = rowsum(dO * O) is one cheap XLA reduction. lse/D are stored
-[BH, 1, L] lane-oriented — a [.., 1]-shaped buffer would be 128x-padded by
-the TPU tiled HBM layout (1.6 GB of padding observed the other way).
+[B, H, L] lane-oriented (a [.., 1]-shaped buffer would be 128x padded).
 
-All matmuls use preferred_element_type=float32 to run the MXU at full
-precision; inputs may be bf16.
+Matmul operands stay in the input dtype (bf16-in/fp32-accum runs the MXU at
+full rate); softmax math is fp32.
 """
 from __future__ import annotations
 
@@ -53,40 +53,35 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _block(L: int, target: int = 512) -> int:
-    """Largest multiple-of-128 divisor of L <= target (L pre-padded to 128)."""
+def _block(L: int, Lk: int, H: int, d: int, target: int = 512,
+           budget_mb: float = 11.0) -> int:
+    """Largest multiple-of-128 divisor of L <= target that fits VMEM.
+
+    Per-cell residents: q/o blocks (bq x H*d), K/V (Lk x H*d), and ~2 live
+    fp32 [bq, Lk] logits buffers from the unrolled head loop.
+    """
+    budget = int(budget_mb * 1024 * 1024)
+    fixed = 2 * Lk * H * d * 2  # K and V, bf16
     for b in (512, 384, 256, 128):
-        if b <= target and L % b == 0:
+        if b > target or L % b:
+            continue
+        need = fixed + 2 * b * H * d * 2 + 2 * b * Lk * 4
+        if need <= budget:
             return b
     return min(L, 128)
 
 
-def _group(BH: int, rows: int, Lk: int, d: int, budget_mb: float = 11.0) -> int:
-    """Grid-cell batching factor: amortize per-cell overhead at short L.
-
-    Conservative per-pair VMEM estimate: resident K/V (+Q/dO for the dkv
-    kernel via ``rows``), the I/O blocks, and 1.5x one fp32 [rows, Lk]
-    logits/probs buffer (the unrolled loop may keep more than one alive).
-    """
-    per_g = (2 * Lk * d * 2) + (2 * rows * d * 2) + int(rows * Lk * 4 * 1.5)
-    budget = int(budget_mb * 1024 * 1024)
-    for g in (16, 8, 4, 2):
-        if BH % g == 0 and g * per_g <= budget:
-            return g
-    return 1
-
-
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, G):
-    for g in range(G):
-        # operands stay in input dtype (bf16): MXU runs bf16-in/fp32-accum at
-        # full rate; fp32-in matmuls are ~8x slower on v5e
-        q = q_ref[g] * jnp.asarray(scale, q_ref.dtype)      # [bq, d]
-        k = k_ref[g]                                        # [Lk, d]
-        v = v_ref[g]                                        # [Lk, d]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, H, d):
+    lses = []
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)  # [bq, d]
+        k = k_ref[0, :, sl]                                    # [Lk, d]
+        v = v_ref[0, :, sl]                                    # [Lk, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32)  # [bq, Lk]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < l_kv, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -95,32 +90,33 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, G):
         p = (e / denom).astype(v.dtype)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        o_ref[g] = o.astype(o_ref.dtype)
-        lse_ref[g] = jnp.transpose(m + jnp.log(denom))
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        lses.append(jnp.transpose(m + jnp.log(denom)))  # [1, bq]
+    lse_ref[0] = jnp.concatenate(lses, axis=0)          # [H, bq]
 
 
-def _fa_fwd_impl(q, k, v, scale, l_kv):
-    """q: [BH, Lq, d], k/v: [BH, Lk, d] (padded to 128 multiples)."""
-    BH, Lq, d = q.shape
+def _fa_fwd_impl(q, k, v, scale, l_kv, H):
+    """q: [B, Lq, H*d], k/v: [B, Lk, H*d] (L padded to 128 multiples)."""
+    B, Lq, HD = q.shape
     Lk = k.shape[1]
-    bq = _block(Lq)
-    G = _group(BH, bq, Lk, d)
-    grid = (BH // G, Lq // bq)
+    d = HD // H
+    bq = _block(Lq, Lk, H, d)
+    grid = (B, Lq // bq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv, G=G),
+        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv, H=H, d=d),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
-            jax.ShapeDtypeStruct((BH, 1, Lq), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq), jnp.float32),
         ],
         interpret=_interpret(),
     )(q, k, v)
@@ -130,12 +126,15 @@ def _fa_fwd_impl(q, k, v, scale, l_kv):
 # ---------------------------------------------------------------- backward
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dq_ref,
-               *, scale, l_kv, G):
-    for g in range(G):
-        q = q_ref[g] * jnp.asarray(scale, q_ref.dtype)
-        k, v, do = k_ref[g], v_ref[g], do_ref[g]
-        lse = jnp.transpose(lse_ref[g])                     # [bq, 1]
-        dvo = jnp.transpose(dvo_ref[g])                     # [bq, 1]
+               *, scale, l_kv, H, d):
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]                               # [bq, d]
+        lse = jnp.transpose(lse_ref[0, h:h + 1])            # [bq, 1]
+        dvo = jnp.transpose(dvo_ref[0, h:h + 1])            # [bq, 1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -145,22 +144,25 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dq_ref,
         ds = (p * (dp - dvo)).astype(k.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dq_ref[g] = (dq * scale).astype(dq_ref.dtype)
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dk_ref, dv_ref,
-                *, scale, l_kv, G):
+                *, scale, l_kv, H, d):
     kv_start = pl.program_id(1) * k_ref.shape[1]
-    for g in range(G):
-        q = q_ref[g] * jnp.asarray(scale, q_ref.dtype)      # pre-scaled
-        k, v, do = k_ref[g], v_ref[g], do_ref[g]
-        lse = jnp.transpose(lse_ref[g])                     # [Lq, 1]
-        dvo = jnp.transpose(dvo_ref[g])                     # [Lq, 1]
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)  # [Lq, d] (full)
+        k = k_ref[0, :, sl]                                    # [bk, d]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]                                  # [Lq, d]
+        lse = jnp.transpose(lse_ref[0, h:h + 1])               # [Lq, 1]
+        dvo = jnp.transpose(dvo_ref[0, h:h + 1])               # [Lq, 1]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32)  # [Lq, bk]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)    # [Lq, bk] f32
+        p = jnp.where(col < l_kv, jnp.exp(s - lse), 0.0)
         p_lo = p.astype(do.dtype)
         dv = jax.lax.dot_general(p_lo, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bk, d]
@@ -169,107 +171,110 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref, dk_ref, dv_ref,
         ds = (p * (dp - dvo)).astype(q.dtype)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bk, d]
-        dk_ref[g] = dk.astype(dk_ref.dtype)
-        dv_ref[g] = dv.astype(dv_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv):
-    BH, Lq, d = q.shape
+def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv, H):
+    B, Lq, HD = q.shape
     Lk = k.shape[1]
-    dvo = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                  axis=-1)[:, None, :]  # [BH, 1, Lq]
+    d = HD // H
+    # D_h = rowsum(dO_h * O_h) per head: [B, H, Lq], lane-oriented
+    dvo = jnp.sum((do.astype(jnp.float32) * out.astype(jnp.float32))
+                  .reshape(B, Lq, H, d), axis=-1).transpose(0, 2, 1)
 
-    # backward keeps two [block, L] fp32 buffers live per g; halve blocks
-    bq = _block(Lq, target=256)
-    G = _group(BH, bq, Lk, d)
+    bq = _block(Lq, Lk, H, d, target=256)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, l_kv=l_kv, G=G),
-        grid=(BH // G, Lq // bq),
+        functools.partial(_dq_kernel, scale=scale, l_kv=l_kv, H=H, d=d),
+        grid=(B, Lq // bq),
         in_specs=[
-            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, bq, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
         interpret=_interpret(),
     )(q, k, v, do, lse, dvo)
 
-    bk = _block(Lk, target=256)
-    Gk = _group(BH, Lq, bk, d)
+    bk = _block(Lk, Lq, H, d, target=256)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, l_kv=l_kv, G=Gk),
-        grid=(BH // Gk, Lk // bk),
+        functools.partial(_dkv_kernel, scale=scale, l_kv=l_kv, H=H, d=d),
+        grid=(B, Lk // bk),
         in_specs=[
-            pl.BlockSpec((Gk, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gk, Lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gk, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gk, 1, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, HD), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, HD), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lq), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gk, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Lk, d), k.dtype),
-            jax.ShapeDtypeStruct((BH, Lk, d), v.dtype),
+            jax.ShapeDtypeStruct((B, Lk, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Lk, HD), v.dtype),
         ],
         interpret=_interpret(),
     )(q, k, v, do, lse, dvo)
     return dq, dk, dv
 
 
-# ---------------------------------------------------------------- public op
+# ---------------------------------------------------------------- public ops
 
 @functools.lru_cache(maxsize=None)
-def _make_core(l_kv: int, d_real: int):
-    """custom-vjp core specialized on (unpadded kv length, real head dim)."""
+def _make_core(l_kv: int, d_real: int, H: int):
+    """custom-vjp core over packed [B, L, H*d] arrays, specialized on the
+    unpadded kv length, head dim, and head count."""
     scale = 1.0 / math.sqrt(d_real)
 
     @jax.custom_vjp
     def core(q, k, v):
-        out, _ = _fa_fwd_impl(q, k, v, scale, l_kv)
+        out, _ = _fa_fwd_impl(q, k, v, scale, l_kv, H)
         return out
 
     def core_fwd(q, k, v):
-        out, lse = _fa_fwd_impl(q, k, v, scale, l_kv)
+        out, lse = _fa_fwd_impl(q, k, v, scale, l_kv, H)
         return out, (q, k, v, out, lse)
 
     def core_bwd(res, do):
         q, k, v, out, lse = res
-        return _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv)
+        return _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv, H)
 
     core.defvjp(core_fwd, core_bwd)
     return core
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """softmax(q k^T / sqrt(d)) v over [B, L, H, d] inputs (same contract as
-    ops.attention._sdpa_xla). Arbitrary L handled by padding to 128; padded
-    keys are masked inside the kernel, padded query rows are sliced away
-    (their cotangents are zero, so backward stays exact)."""
-    B, Lq, H, d = q.shape
+def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           num_heads: int) -> jax.Array:
+    """Flash attention over PACKED inputs [B, L, H*d] (head h owns lanes
+    [h*d, (h+1)*d)) — the layout a fused qkv Dense already produces.
+    Returns [B, Lq, H*d]."""
+    B, Lq, HD = q.shape
     Lk = k.shape[1]
-
-    def to_bhld(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], d)
-    qf, kf, vf = to_bhld(q), to_bhld(k), to_bhld(v)
-
-    # Large Lq: pad to a multiple of 512 so q-blocks are big (fewer grid
-    # cells, better MXU occupancy); the <=14% extra rows are masked work.
+    d = HD // num_heads
     q_align = 512 if Lq >= 1024 else 128
     Lq_p = -(-Lq // q_align) * q_align
     Lk_p = -(-Lk // 128) * 128
-    qf = _pad_to(qf, Lq_p, 1)
-    kf = _pad_to(kf, Lk_p, 1)
-    vf = _pad_to(vf, Lk_p, 1)
+    qf = _pad_to(q, Lq_p, 1)
+    kf = _pad_to(k, Lk_p, 1)
+    vf = _pad_to(v, Lk_p, 1)
+    out = _make_core(Lk, d, num_heads)(qf, kf, vf)
+    return out[:, :Lq]
 
-    out = _make_core(Lk, d)(qf, kf, vf)
-    out = out[:, :Lq]
-    return out.reshape(B, H, Lq, d).transpose(0, 2, 1, 3)
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """[B, L, H, d] convenience wrapper (same contract as ops.attention
+    _sdpa_xla). The reshape to packed [B, L, H*d] is free — the head axis is
+    already adjacent to d in memory."""
+    B, Lq, H, d = q.shape
+    out = flash_attention_packed(
+        q.reshape(B, Lq, H * d), k.reshape(B, k.shape[1], H * d),
+        v.reshape(B, v.shape[1], H * d), H)
+    return out.reshape(B, Lq, H, d)
