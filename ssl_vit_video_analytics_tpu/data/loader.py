@@ -164,8 +164,11 @@ def prefetch_to_device(it: Iterator[dict], size: int = 2, sharding=None) -> Iter
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
                 q.put(batch)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the consumer side
+            # A swallowed producer error would silently truncate the epoch;
+            # surface it in the training thread instead.
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -173,4 +176,6 @@ def prefetch_to_device(it: Iterator[dict], size: int = 2, sharding=None) -> Iter
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
