@@ -69,20 +69,21 @@ def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
         return model.apply(variables, emb, method="classify_embedding")
 
     from ..ops.preprocess import normalize_clip
+    import jax.numpy as jnp
+    # threshold is a TRACED argument: one compile serves the whole sweep
+    # (the reference pays nothing per threshold; neither do we)
+    fn_full = jax.jit(lambda raw, t: streaming_early_exit(
+        embed_fn, classify_fn, normalize_clip(raw), t,
+        min_frames=int(dyn.get("min_frames", 4)),
+        max_frames=dyn.get("max_frames"),
+        frame_step=int(dyn.get("frame_step", 1))))
     rows = []
     for thr in dyn["confidence_thresholds"]:
         logits_all, labels_all, used_all, conf_all = [], [], [], []
         times = []
-        # normalize on device inside the timed call — the reference times the
-        # full per-batch inference with CUDA events (ref: :109-130)
-        fn_full = jax.jit(lambda raw, t=float(thr): streaming_early_exit(
-            embed_fn, classify_fn, normalize_clip(raw), t,
-            min_frames=int(dyn.get("min_frames", 4)),
-            max_frames=dyn.get("max_frames"),
-            frame_step=int(dyn.get("frame_step", 1))))
         for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
             t0 = time.perf_counter()
-            logits, stats = fn_full(batch["clip"])
+            logits, stats = fn_full(batch["clip"], jnp.float32(thr))
             conf = np.asarray(stats.final_conf)  # forces sync
             dt = (time.perf_counter() - t0) * 1000.0
             if warm <= i < warm + meas:
@@ -161,24 +162,27 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
     def classify_fn(emb):
         return model.apply(variables, emb, method="classify_embedding")
 
+    import jax.numpy as jnp
     rows = []
     for k in dyn["gating_topk_list"]:
+        # k changes the gathered clip shape (one compile per k); the
+        # threshold is traced (free sweep)
+        def fn(raw, key, t, k=int(k)):
+            clip = normalize_clip(raw)
+            sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
+            return streaming_early_exit(
+                embed_fn, classify_fn, sel, t,
+                min_frames=int(dyn.get("min_frames", 4)),
+                max_frames=dyn.get("max_frames"),
+                frame_step=int(dyn.get("frame_step", 1)))
+        jfn = jax.jit(fn)
         for thr in dyn["confidence_thresholds"]:
-            def fn(raw, key, k=int(k), t=float(thr)):
-                clip = normalize_clip(raw)
-                sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
-                return streaming_early_exit(
-                    embed_fn, classify_fn, sel, t,
-                    min_frames=int(dyn.get("min_frames", 4)),
-                    max_frames=dyn.get("max_frames"),
-                    frame_step=int(dyn.get("frame_step", 1)))
-            jfn = jax.jit(fn)
             logits_all, labels_all, used_all, times = [], [], [], []
             key = jax.random.key(0)
             for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
                 key, sub = jax.random.split(key)
                 t0 = time.perf_counter()
-                logits, stats = jfn(batch["clip"], sub)
+                logits, stats = jfn(batch["clip"], sub, jnp.float32(thr))
                 used = np.asarray(stats.used_frames)
                 dt = (time.perf_counter() - t0) * 1000.0
                 if warm <= i < warm + meas:
