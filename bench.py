@@ -41,8 +41,8 @@ def main():
                             decoder_depth=1, decoder_num_heads=2)
         cfg["training"]["batch_size"] = 2
 
-    # B=24 without remat beats B=40 with remat (44.1 vs 33.1 clips/s measured)
-    B = int(os.environ.get("BENCH_BATCH", 24 if on_tpu else cfg["training"]["batch_size"]))
+    # B=16 without remat measured fastest (45.6 clips/s; 24 -> 42.5, 40+remat -> 33)
+    B = int(os.environ.get("BENCH_BATCH", 16 if on_tpu else cfg["training"]["batch_size"]))
     T = int(cfg["dataset"]["clip_len"])
     S = int(cfg["dataset"]["image_size"])
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -118,6 +118,7 @@ def _fa_fwd_impl(q, k, v, scale, l_kv, H):
             jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
             jax.ShapeDtypeStruct((B, H, Lq), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(q, k, v)
     return out, lse
@@ -198,6 +199,7 @@ def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv, H):
         out_specs=pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(q, k, v, do, lse, dvo)
 
@@ -221,6 +223,7 @@ def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_kv, H):
             jax.ShapeDtypeStruct((B, Lk, HD), k.dtype),
             jax.ShapeDtypeStruct((B, Lk, HD), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(q, k, v, do, lse, dvo)
     return dq, dk, dv
