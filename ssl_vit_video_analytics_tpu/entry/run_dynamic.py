@@ -28,10 +28,12 @@ from ..utils.prng import set_seed
 from . import common
 
 # CSV headers, byte-compatible with the reference outputs
-# (ref: src/run_dynamic.py:89,179,259)
-EARLY_EXIT_FIELDS = ("threshold", "top1", "top5", "avg_frames", "avg_conf", "avg_latency_ms")
-FRAME_GATING_FIELDS = ("topk", "score", "top1", "top5", "avg_latency_ms")
-HYBRID_FIELDS = ("topk", "threshold", "top1", "top5", "avg_frames", "avg_latency_ms")
+# (ref: src/run_dynamic.py:89,179,259 — literal header strings)
+EARLY_EXIT_FIELDS = ("threshold", "top1", "top5", "avg_frames", "avg_conf",
+                     "avg_latency_ms", "throughput_fps")
+FRAME_GATING_FIELDS = ("k", "top1", "top5", "avg_latency_ms", "throughput_clips_per_s")
+HYBRID_FIELDS = ("k", "threshold", "top1", "top5", "avg_used_frames", "avg_conf",
+                 "avg_latency_ms")
 
 
 def _load_classifier(cfg: dict, dtype, clip_shape, log):
@@ -54,6 +56,11 @@ def _topk_np(logits: np.ndarray, labels: np.ndarray, ks=(1, 5)):
     for k in ks:
         out[k] = float(np.mean([labels[i] in order[i, :k] for i in range(len(labels))]))
     return out
+
+
+def _valid_rows(arr: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Keep only real (non-padding) samples of a padded tail batch."""
+    return arr[np.asarray(valid)]
 
 
 def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
@@ -81,27 +88,37 @@ def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
     for thr in dyn["confidence_thresholds"]:
         logits_all, labels_all, used_all, conf_all = [], [], [], []
         times = []
-        for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
+        # drop_last=False + valid mask: the full val split contributes to
+        # accuracy, like the reference's loader (ref: src/run_dynamic.py:102)
+        for i, batch in enumerate(common.epoch_batches(
+                ds, B, shuffle=False, seed=0, epoch=0, drop_last=False)):
             t0 = time.perf_counter()
             logits, stats = fn_full(batch["clip"], jnp.float32(thr))
             conf = np.asarray(stats.final_conf)  # forces sync
             dt = (time.perf_counter() - t0) * 1000.0
             if warm <= i < warm + meas:
                 times.append(dt)
-            logits_all.append(np.asarray(logits))
-            labels_all.append(np.asarray(batch["label"]))
-            used_all.append(np.asarray(stats.used_frames))
-            conf_all.append(conf)
+            v = np.asarray(batch["valid"])
+            logits_all.append(_valid_rows(np.asarray(logits), v))
+            labels_all.append(_valid_rows(np.asarray(batch["label"]), v))
+            used_all.append(_valid_rows(np.asarray(stats.used_frames), v))
+            conf_all.append(_valid_rows(conf, v))
         logits_np = np.concatenate(logits_all)
         labels_np = np.concatenate(labels_all)
         accs = _topk_np(logits_np, labels_np)
+        avg_frames = float(np.mean(np.concatenate(used_all)))
+        avg_latency = float(np.mean(times)) if times else 0.0
+        # ref: src/run_dynamic.py:144-150 — effective frames/sec processed
+        clips_per_sec = (B / (avg_latency / 1000.0)) if avg_latency > 0 else 0.0
+        throughput_fps = clips_per_sec * avg_frames
         row = {
             "threshold": f"{float(thr):.2f}",
             "top1": f"{accs[1]:.6f}",
             "top5": f"{accs[5]:.6f}",
-            "avg_frames": f"{float(np.mean(np.concatenate(used_all))):.3f}",
+            "avg_frames": f"{avg_frames:.3f}",
             "avg_conf": f"{float(np.mean(np.concatenate(conf_all))):.4f}",
-            "avg_latency_ms": f"{float(np.mean(times)) if times else 0.0:.3f}",
+            "avg_latency_ms": f"{avg_latency:.3f}",
+            "throughput_fps": f"{throughput_fps:.2f}",
         }
         rows.append(row)
         log(f"[INFO] early_exit thr={thr} top1={row['top1']} frames={row['avg_frames']} "
@@ -119,32 +136,39 @@ def run_frame_gating(cfg, model, variables, ds, log) -> list[dict]:
 
     rows = []
     for k in dyn["gating_topk_list"]:
-        def fn(raw, key, k=int(k)):
+        k_eff = min(int(k), ds.clip_len)  # ref: src/run_dynamic.py:191
+        def fn(raw, key, k=k_eff):
             clip = normalize_clip(raw)
             sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
             return model.apply(variables, sel)
         jfn = jax.jit(fn)
         logits_all, labels_all, times = [], [], []
         key = jax.random.key(0)
-        for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
+        for i, batch in enumerate(common.epoch_batches(
+                ds, B, shuffle=False, seed=0, epoch=0, drop_last=False)):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             logits = np.asarray(jfn(batch["clip"], sub))
             dt = (time.perf_counter() - t0) * 1000.0
             if warm <= i < warm + meas:
                 times.append(dt)
-            logits_all.append(logits)
-            labels_all.append(np.asarray(batch["label"]))
+            v = np.asarray(batch["valid"])
+            logits_all.append(_valid_rows(logits, v))
+            labels_all.append(_valid_rows(np.asarray(batch["label"]), v))
         accs = _topk_np(np.concatenate(logits_all), np.concatenate(labels_all))
+        avg_latency = float(np.mean(times)) if times else 0.0
+        # ref: src/run_dynamic.py:209-213
+        clips_per_sec = (B / (avg_latency / 1000.0)) if avg_latency > 0 else 0.0
         row = {
-            "topk": str(int(k)),
-            "score": score,
+            "k": str(k_eff),
             "top1": f"{accs[1]:.6f}",
             "top5": f"{accs[5]:.6f}",
-            "avg_latency_ms": f"{float(np.mean(times)) if times else 0.0:.3f}",
+            "avg_latency_ms": f"{avg_latency:.3f}",
+            "throughput_clips_per_s": f"{clips_per_sec:.2f}",
         }
         rows.append(row)
-        log(f"[INFO] frame_gating k={k} top1={row['top1']} lat={row['avg_latency_ms']}ms")
+        log(f"[INFO] frame_gating k={k_eff} score={score} top1={row['top1']} "
+            f"lat={row['avg_latency_ms']}ms")
     return rows
 
 
@@ -165,9 +189,10 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
     import jax.numpy as jnp
     rows = []
     for k in dyn["gating_topk_list"]:
+        k_eff = min(int(k), ds.clip_len)  # ref: src/run_dynamic.py:274
         # k changes the gathered clip shape (one compile per k); the
         # threshold is traced (free sweep)
-        def fn(raw, key, t, k=int(k)):
+        def fn(raw, key, t, k=k_eff):
             clip = normalize_clip(raw)
             sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
             return streaming_early_exit(
@@ -177,9 +202,10 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
                 frame_step=int(dyn.get("frame_step", 1)))
         jfn = jax.jit(fn)
         for thr in dyn["confidence_thresholds"]:
-            logits_all, labels_all, used_all, times = [], [], [], []
+            logits_all, labels_all, used_all, conf_all, times = [], [], [], [], []
             key = jax.random.key(0)
-            for i, batch in enumerate(common.epoch_batches(ds, B, shuffle=False, seed=0, epoch=0)):
+            for i, batch in enumerate(common.epoch_batches(
+                    ds, B, shuffle=False, seed=0, epoch=0, drop_last=False)):
                 key, sub = jax.random.split(key)
                 t0 = time.perf_counter()
                 logits, stats = jfn(batch["clip"], sub, jnp.float32(thr))
@@ -187,21 +213,25 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
                 dt = (time.perf_counter() - t0) * 1000.0
                 if warm <= i < warm + meas:
                     times.append(dt)
-                logits_all.append(np.asarray(logits))
-                labels_all.append(np.asarray(batch["label"]))
-                used_all.append(used)
+                v = np.asarray(batch["valid"])
+                logits_all.append(_valid_rows(np.asarray(logits), v))
+                labels_all.append(_valid_rows(np.asarray(batch["label"]), v))
+                used_all.append(_valid_rows(used, v))
+                conf_all.append(_valid_rows(np.asarray(stats.final_conf), v))
             accs = _topk_np(np.concatenate(logits_all), np.concatenate(labels_all))
+            # ref: src/run_dynamic.py:309-316
             row = {
-                "topk": str(int(k)),
+                "k": str(k_eff),
                 "threshold": f"{float(thr):.2f}",
                 "top1": f"{accs[1]:.6f}",
                 "top5": f"{accs[5]:.6f}",
-                "avg_frames": f"{float(np.mean(np.concatenate(used_all))):.3f}",
+                "avg_used_frames": f"{float(np.mean(np.concatenate(used_all))):.3f}",
+                "avg_conf": f"{float(np.mean(np.concatenate(conf_all))):.4f}",
                 "avg_latency_ms": f"{float(np.mean(times)) if times else 0.0:.3f}",
             }
             rows.append(row)
-            log(f"[INFO] hybrid k={k} thr={thr} top1={row['top1']} "
-                f"frames={row['avg_frames']} lat={row['avg_latency_ms']}ms")
+            log(f"[INFO] hybrid k={k_eff} thr={thr} top1={row['top1']} "
+                f"frames={row['avg_used_frames']} lat={row['avg_latency_ms']}ms")
     return rows
 
 

@@ -111,7 +111,7 @@ def _centralized_baseline(cfg: dict, train_split: str, val_ds, out_dir: str, log
     tx = eng.build_finetune_tx(tr_cfg, "ft_random", variables["params"], False)
     state = create_train_state(variables["params"], tx,
                                batch_stats=variables.get("batch_stats"))
-    train_step = eng.make_train_step(model, tx, compute_dtype=dtype)
+    train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed)
     eval_step = eng.make_eval_step(model, compute_dtype=dtype)
 
     rows = []
@@ -182,9 +182,15 @@ def run(cfg: dict, log=print) -> dict:
         variables = {"params": blob["params"], "batch_stats": blob.get("batch_stats")}
         log(f"[INFO] warm start from {init_ckpt}")
 
+    # mesh over ALL devices: clients ride the 'client' axis; any selection
+    # size works because run_fedavg_round pads with zero-weight dummy clients
+    n_dev = jax.device_count()
+    mesh = make_mesh({"client": n_dev}) if n_dev > 1 else None
+    log(f"[INFO] mesh: {mesh} (clients={num_clients}, devices={n_dev})")
+
     parallel_update = make_parallel_client_update(
         model, lr=float(fed["lr"]), weight_decay=float(fed["weight_decay"]),
-        normalize_fn=lambda c: normalize_clip(c, dtype=dtype))
+        normalize_fn=lambda c: normalize_clip(c, dtype=dtype), mesh=mesh)
 
     eval_step = eng.make_eval_step(model, compute_dtype=dtype)
 
@@ -199,18 +205,12 @@ def run(cfg: dict, log=print) -> dict:
         client_datasets, B, int(fed["local_epochs"]),
         (val_ds.clip_len, val_ds.image_size), seed)
 
-    # mesh over available devices: clients ride the 'client' axis
-    n_dev = jax.device_count()
-    mesh = make_mesh({"client": math.gcd(num_clients, n_dev) or 1})
-    log(f"[INFO] mesh: {mesh} (clients={num_clients}, devices={n_dev})")
-
-    with mesh:
-        records, final_params, final_bs = run_fedavg(
-            parallel_update, variables["params"], variables.get("batch_stats"),
-            sampler, evaluate_fn, num_clients,
-            rounds=int(fed["rounds"]),
-            client_fraction=float(fed.get("client_fraction", 1.0)),
-            log=log)
+    records, final_params, final_bs = run_fedavg(
+        parallel_update, variables["params"], variables.get("batch_stats"),
+        sampler, evaluate_fn, num_clients,
+        rounds=int(fed["rounds"]),
+        client_fraction=float(fed.get("client_fraction", 1.0)),
+        mesh=mesh, log=log)
 
     # fed_summary.csv with cumulative comm
     comm_total = 0.0

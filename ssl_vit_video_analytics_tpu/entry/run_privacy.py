@@ -8,6 +8,13 @@
     utility top-1/5 + entropy, plus a re-identification attacker MLP whose
     top-1 yields the privacy exposure rate.
 
+Attacker protocol note: the attacker MLP is trained AND evaluated on the
+same perturbed-embedding set, exactly like the reference
+(ref: src/run_privacy.py:309-326 trains on z_priv/y and measures
+attacker_top1 on that same z_priv/y) — i.e. attacker_top1 is an upper bound
+(memorization-inclusive) on re-identification leakage, not a held-out
+generalization estimate. We reproduce that choice for CSV comparability.
+
 CSV headers and round(x, 6) formats match the reference
 (ref: src/run_privacy.py:204-219, :329-347).
 """

@@ -70,7 +70,7 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
                                batch_stats=variables.get("batch_stats"))
     mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
     state = place_state(state)
-    train_step = eng.make_train_step(model, tx, compute_dtype=dtype)
+    train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed)
     eval_step = eng.make_eval_step(model, compute_dtype=dtype)
 
     epochs = int(tr["epochs"])
@@ -86,7 +86,7 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
             tx = eng.build_finetune_tx(tr, mode, state.params, freeze_backbone=False)
             state = place_state(
                 create_train_state(state.params, tx, batch_stats=state.batch_stats))
-            train_step = eng.make_train_step(model, tx, compute_dtype=dtype)
+            train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed)
 
         log(f"[INFO] Epoch {epoch}/{epochs} started")
         t0 = time.perf_counter()

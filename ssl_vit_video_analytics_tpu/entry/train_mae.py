@@ -69,7 +69,11 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
     model = build_model(cfg, dtype)
     clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
     mask0 = jnp.zeros((B, T * P), bool)
-    init_key, step_key = jax.random.split(root_key)
+    # step RNG is fold_in(base, global_step) — NOT a sequentially split
+    # stream — so a resumed run replays the identical mask stream an
+    # uninterrupted run would have used (exact-resume invariant, tested by
+    # tests/test_resume.py).
+    init_key, step_key_base = jax.random.split(root_key)
     variables = jax.jit(lambda k: model.init(k, clip0, mask0))(init_key)
 
     sched = warmup_cosine_schedule(
@@ -94,13 +98,33 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
     if resume:
         latest = find_latest_checkpoint(out_dir)
         if latest:
-            blob = restore_checkpoint(latest)
+            # FULL resume (ref: src/mae/utils.py:73-92 checkpoints
+            # model+optimizer+scheduler): opt_state carries the Adam moments
+            # AND the warmup-cosine schedule's step count, so the LR continues
+            # exactly where the interrupted run stopped.
+            import json
+            meta = {}
+            if os.path.exists(latest + ".meta.json"):
+                with open(latest + ".meta.json") as f:
+                    meta = json.load(f)
+            if meta.get("has_opt_state"):
+                tmpl = {"step": 0, "params": variables["params"],
+                        "opt_state": tx.init(variables["params"])}
+                if variables.get("batch_stats") is not None:
+                    tmpl["batch_stats"] = variables["batch_stats"]
+                blob = restore_checkpoint(latest, target=tmpl)
+                opt_state = blob["opt_state"]
+            else:
+                blob = restore_checkpoint(latest)
+                opt_state = tx.init(blob["params"])
+                log("[WARN] legacy checkpoint without opt_state; optimizer "
+                    "moments and LR schedule restart from zero")
             if blob.get("cfg_hash") not in (None, cfg_hash):
                 log(f"[WARN] resume cfg_hash mismatch ({blob.get('cfg_hash')} != {cfg_hash})")
             state = TrainState(
                 step=jnp.asarray(blob["step"], jnp.int32),
                 params=blob["params"], batch_stats=blob.get("batch_stats"),
-                opt_state=tx.init(blob["params"]), ema_params=None)
+                opt_state=opt_state, ema_params=None)
             start_epoch = int(blob["epoch"]) + 1
             best = blob.get("best")
             log(f"[INFO] resumed from {latest} at epoch {start_epoch}")
@@ -122,7 +146,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
         for step, batch in enumerate(
                 common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch), 1):
             data_t += time.perf_counter() - t_last
-            step_key, k = jax.random.split(step_key)
+            k = jax.random.fold_in(step_key_base, global_step)
             state, metrics = step_fn(state, batch, k, jnp.float32(ratio))
             global_step += 1
             iter_t += time.perf_counter() - t_last
@@ -147,7 +171,9 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
             save_checkpoint(out_dir, f"ckpt_epoch_{epoch}", {
                 "step": int(state.step),
                 "params": state.params, "batch_stats": state.batch_stats,
-            }, meta={"epoch": epoch, "cfg_hash": cfg_hash, "best": best})
+                "opt_state": state.opt_state,
+            }, meta={"epoch": epoch, "cfg_hash": cfg_hash, "best": best,
+                     "has_opt_state": True})
             deleted = keep_last_n_checkpoints(out_dir, keep_last)
             log(f"[INFO] saved ckpt_epoch_{epoch} (gc: {len(deleted)} old)")
         if vis_every and epoch % vis_every == 0:

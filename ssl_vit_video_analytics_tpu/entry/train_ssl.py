@@ -110,12 +110,16 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         }, fieldnames=["epoch", "total", "mfm", "var", "top"])
         running = {}
         if epoch % save_every == 0 or epoch == epochs:
+            # {student, ema, opt} like the reference's periodic saves
+            # (ref: src/train_ssl.py:354-362)
             path = save_checkpoint(save_dir, f"ssl_epoch_{epoch}", {
                 "params": state.params,
                 "ema_params": state.ema_params,
                 "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": int(state.step),
                 "epoch": epoch,
-            })
+            }, meta={"has_opt_state": True})
             log(f"[INFO] saved checkpoint: {path}")
         if max_steps is not None and global_step >= max_steps:
             break

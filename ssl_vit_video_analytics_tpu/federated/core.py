@@ -67,6 +67,7 @@ def make_parallel_client_update(
     weight_decay: float,
     normalize_fn: Callable,
     client_axis: str = "client",
+    mesh=None,
 ):
     """Build the jitted all-clients-at-once local update.
 
@@ -80,12 +81,14 @@ def make_parallel_client_update(
       valid:  [N, S, B] bool   (padding mask; clients have ragged step counts)
     Returns (new_params, new_batch_stats, avg_loss [N]).
 
-    Parallelism is shard_map over the mesh's ``client`` axis with an unrolled
+    Parallelism is shard_map over ``mesh``'s ``client`` axis with an unrolled
     loop over the device-local clients — NOT vmap: vmapping a conv turns it
     into a grouped conv whose feature_group_count must divide the channel
     count, which breaks for arbitrary client counts (observed at N=6).
-    Call under ``with mesh:`` when a client mesh is active; without an active
-    mesh it runs the same loop on one device.
+    Pass ``mesh`` explicitly (a jax.sharding.Mesh with a ``client`` axis);
+    with mesh=None the same loop runs on one device. The stacked client dim
+    must be a multiple of the axis size — run_fedavg_round pads with
+    zero-weight dummy clients to guarantee this for any selection size.
     """
     tx = optax.adamw(float(lr), weight_decay=float(weight_decay))
 
@@ -143,12 +146,8 @@ def make_parallel_client_update(
         return new_p, new_bs, losses
 
     def parallel_update(params, batch_stats, clips, labels, valid):
-        mesh = None
-        from jax._src import mesh as mesh_lib
-        ctx_mesh = mesh_lib.thread_resources.env.physical_mesh
-        if ctx_mesh is not None and not ctx_mesh.empty and client_axis in ctx_mesh.axis_names:
-            mesh = ctx_mesh
-        if mesh is None or mesh.shape[client_axis] == 1:
+        if mesh is None or client_axis not in mesh.axis_names \
+                or mesh.shape[client_axis] == 1:
             return jax.jit(local_loop)(params, batch_stats, clips, labels, valid)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -165,18 +164,45 @@ def make_parallel_client_update(
     return parallel_update
 
 
+def pad_clients_to_axis(client_batches: dict, client_sizes: np.ndarray,
+                        axis_size: int) -> tuple[dict, np.ndarray, int]:
+    """Pad the stacked client dim to a multiple of the mesh client axis.
+
+    Dummy clients get all-False ``valid`` masks (their local updates are
+    no-ops) and zero aggregation weight, so any selection size — e.g.
+    client_fraction 0.5 of 8 clients on an 8-device mesh — shards cleanly.
+    Returns (padded_batches, padded_sizes, n_real).
+    """
+    n = int(client_sizes.shape[0])
+    n_pad = (-n) % int(axis_size)
+    if n_pad == 0:
+        return client_batches, client_sizes, n
+    padded = {k: np.concatenate(
+        [np.asarray(v), np.zeros((n_pad,) + v.shape[1:], dtype=np.asarray(v).dtype)])
+        for k, v in client_batches.items()}
+    sizes = np.concatenate([np.asarray(client_sizes, np.float32),
+                            np.zeros((n_pad,), np.float32)])
+    return padded, sizes, n
+
+
 def run_fedavg_round(
     parallel_update,
     global_params,
     global_batch_stats,
     client_batches: dict,
     client_sizes: np.ndarray,
+    mesh=None,
+    client_axis: str = "client",
 ):
     """One round: broadcast -> parallel local updates -> weighted aggregate.
 
     client_batches: {"clip": [N,S,B,...] uint8, "label": [N,S,B], "valid": [N,S,B]}
-    Returns (new_params, new_batch_stats, local_losses [N]).
+    Returns (new_params, new_batch_stats, local_losses [N_real]).
     """
+    n_real = client_sizes.shape[0]
+    if mesh is not None and client_axis in mesh.axis_names:
+        client_batches, client_sizes, n_real = pad_clients_to_axis(
+            client_batches, client_sizes, mesh.shape[client_axis])
     n = client_sizes.shape[0]
     stacked_p = broadcast_tree(global_params, n)
     stacked_bs = broadcast_tree(global_batch_stats, n)
@@ -186,7 +212,7 @@ def run_fedavg_round(
     w = jnp.asarray(client_sizes, jnp.float32)
     agg_p = fedavg_aggregate(new_p, w)
     agg_bs = fedavg_aggregate(new_bs, w)
-    return agg_p, agg_bs, losses
+    return agg_p, agg_bs, losses[:n_real]
 
 
 def run_fedavg(
@@ -198,6 +224,7 @@ def run_fedavg(
     num_clients: int,
     rounds: int = 10,
     client_fraction: float = 1.0,
+    mesh=None,
     log=print,
 ) -> tuple[list[dict], object, object]:
     """Full FedAvg loop (ref: src/federated/fed_loop.py:65-147).
@@ -214,10 +241,17 @@ def run_fedavg(
 
         batches, sizes = sample_round_batches(selected, r)
         global_params, global_batch_stats, losses = run_fedavg_round(
-            parallel_update, global_params, global_batch_stats, batches, sizes)
+            parallel_update, global_params, global_batch_stats, batches, sizes,
+            mesh=mesh)
 
+        # full transmitted state = params + BN batch_stats, matching the
+        # reference's state_dict accounting (ref: src/federated/comm_cost.py:4-10
+        # measures the whole state_dict incl. running stats)
+        comm_tree = {"params": global_params}
+        if global_batch_stats is not None:
+            comm_tree["batch_stats"] = global_batch_stats
         comm_total_mb, model_mb = estimate_comm_mb_per_round(
-            global_params, num_clients_participating=len(selected))
+            comm_tree, num_clients_participating=len(selected))
         top1, top5 = evaluate_fn(global_params, global_batch_stats)
         local_losses = [float(x) for x in np.asarray(losses)]
         rec = {

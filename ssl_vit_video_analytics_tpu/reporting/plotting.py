@@ -58,7 +58,8 @@ def fig17_dynamic_tradeoff(early_csv: str, gating_csv: str, out_path: str) -> st
         ax.plot(_floats(rows, "avg_latency_ms"), _floats(rows, "top1"),
                 "s--", label="frame-gating (k sweep)")
         for r in rows:
-            ax.annotate(f"k={r['topk']}", (float(r["avg_latency_ms"]), float(r["top1"])),
+            ax.annotate(f"k={r.get('k', r.get('topk'))}",
+                        (float(r["avg_latency_ms"]), float(r["top1"])),
                         fontsize=7, xytext=(3, -8), textcoords="offset points")
     ax.set_xlabel("avg latency (ms)")
     ax.set_ylabel("top-1 accuracy")

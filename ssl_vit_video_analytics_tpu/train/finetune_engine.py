@@ -99,15 +99,19 @@ def build_finetune_tx(ft_training_cfg: dict, mode: str, params: Any,
 
 
 def make_train_step(model: VideoClassifier, tx: optax.GradientTransformation,
-                    compute_dtype=jnp.float32):
-    """One jitted supervised step: normalize -> forward -> CE -> update."""
+                    compute_dtype=jnp.float32, seed: int = 0):
+    """One jitted supervised step: normalize -> forward -> CE -> update.
+
+    Dropout/DropPath RNG = fold_in(key(seed), step): per-step unique, and
+    different run seeds get different regularization streams.
+    """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         labels = batch["label"]
 
-        drop_key = jax.random.fold_in(jax.random.key(0), state.step)
+        drop_key = jax.random.fold_in(jax.random.key(seed), state.step)
 
         def loss_fn(params):
             out, mutated = model.apply(

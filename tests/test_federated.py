@@ -53,7 +53,7 @@ def test_parallel_fedavg_round_on_mesh():
     v = jax.jit(lambda k: model.init(k, jnp.zeros((B, T, sz, sz, 3))))(jax.random.key(0))
 
     upd = make_parallel_client_update(model, lr=1e-3, weight_decay=0.01,
-                                      normalize_fn=normalize_clip)
+                                      normalize_fn=normalize_clip, mesh=mesh)
     rng = np.random.default_rng(0)
     csh = NamedSharding(mesh, P("client"))
     batches = {
@@ -66,10 +66,9 @@ def test_parallel_fedavg_round_on_mesh():
     valid[0, -1] = False
     batches["valid"] = jax.device_put(valid, csh)
 
-    with mesh:
-        new_p, new_bs, losses = run_fedavg_round(
-            upd, v["params"], v["batch_stats"], batches,
-            np.full((N,), 10.0, np.float32))
+    new_p, new_bs, losses = run_fedavg_round(
+        upd, v["params"], v["batch_stats"], batches,
+        np.full((N,), 10.0, np.float32), mesh=mesh)
     assert np.isfinite(np.asarray(losses)).all()
     # aggregated params differ from init (training happened)
     p0 = jax.tree.leaves(v["params"])[0]
@@ -77,3 +76,39 @@ def test_parallel_fedavg_round_on_mesh():
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
     # aggregated tree has the global (unstacked) structure
     assert p1.shape == p0.shape
+
+
+def test_fedavg_round_pads_ragged_client_count():
+    """client_fraction < 1 can select any m; dummy-client padding makes the
+    stacked dim shard over the full mesh axis (ADVICE r1: m=5 on 8 devices)."""
+    n_dev = jax.device_count()
+    mesh = make_mesh({"client": n_dev})
+    N = n_dev // 2 + 1  # 5 on the 8-device test mesh: not divisible
+    S, B, T, sz = 2, 2, 2, 32
+    model = VideoClassifier(backbone=MobileViTBackbone(embed_dim=16), num_classes=4)
+    v = jax.jit(lambda k: model.init(k, jnp.zeros((B, T, sz, sz, 3))))(jax.random.key(0))
+    upd = make_parallel_client_update(model, lr=1e-3, weight_decay=0.01,
+                                      normalize_fn=normalize_clip, mesh=mesh)
+    rng = np.random.default_rng(0)
+    batches = {
+        "clip": rng.integers(0, 255, (N, S, B, T, sz, sz, 3), dtype=np.uint8),
+        "label": rng.integers(0, 4, (N, S, B), dtype=np.int32),
+        "valid": np.ones((N, S, B), bool),
+    }
+    new_p, new_bs, losses = run_fedavg_round(
+        upd, v["params"], v["batch_stats"], batches,
+        np.full((N,), 10.0, np.float32), mesh=mesh)
+    assert losses.shape[0] == N  # dummies sliced away
+    assert np.isfinite(np.asarray(losses)).all()
+    p0, p1 = jax.tree.leaves(v["params"])[0], jax.tree.leaves(new_p)[0]
+    assert p1.shape == p0.shape
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_pad_clients_identity_when_divisible():
+    from ssl_vit_video_analytics_tpu.federated.core import pad_clients_to_axis
+    b = {"clip": np.zeros((4, 1), np.uint8)}
+    out, sizes, n = pad_clients_to_axis(b, np.ones((4,), np.float32), 4)
+    assert out is b and n == 4 and sizes.shape == (4,)
+    out2, sizes2, n2 = pad_clients_to_axis(b, np.ones((4,), np.float32), 8)
+    assert n2 == 4 and out2["clip"].shape == (8, 1) and sizes2[4:].sum() == 0

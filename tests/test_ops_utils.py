@@ -129,3 +129,32 @@ def test_privacy_functions():
     det = StubFaceDetector()
     boxes = det.detect(np.zeros((30, 30, 3), np.uint8))
     assert boxes.shape == (1, 4)
+
+
+def test_yunet_real_detector_weights_gated():
+    """Exercises the REAL cv2.FaceDetectorYN path with the vendored weights
+    (assets/yunet.onnx, same file the reference ships). Skipped only if the
+    asset or cv2 DNN support is absent."""
+    import os
+    import numpy as np
+    import pytest
+    from ssl_vit_video_analytics_tpu.privacy.visual import (
+        make_detector, YuNetFaceDetector, VisualAnonymizer)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    weights = os.path.join(repo, "assets", "yunet.onnx")
+    if not os.path.exists(weights):
+        pytest.skip("yunet.onnx not vendored")
+    det = make_detector(weights)
+    if not isinstance(det, YuNetFaceDetector):
+        pytest.skip("cv2.FaceDetectorYN unavailable")
+    # no faces in noise: the real model must return an empty (0, 4) box array
+    img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+    boxes = det.detect(img)
+    assert boxes.shape == (0, 4)
+    # anonymizer with the real detector: no boxes -> frame unchanged
+    anon = VisualAnonymizer(det, blur_kernel=7)
+    out, n_faces = anon.apply(img)
+    assert n_faces == 0
+    assert out.shape == img.shape and out.dtype == img.dtype
+    np.testing.assert_array_equal(out, img)

@@ -9,15 +9,15 @@ from ssl_vit_video_analytics_tpu.utils.io import write_csv, read_csv_dicts
 def _write_inputs(d):
     write_csv(os.path.join(d, "early.csv"), [
         {"threshold": "0.55", "top1": "0.66", "top5": "0.88", "avg_frames": "7.9",
-         "avg_conf": "0.71", "avg_latency_ms": "53.8"},
+         "avg_conf": "0.71", "avg_latency_ms": "53.8", "throughput_fps": "1174.9"},
         {"threshold": "0.75", "top1": "0.67", "top5": "0.89", "avg_frames": "10.5",
-         "avg_conf": "0.80", "avg_latency_ms": "57.6"},
+         "avg_conf": "0.80", "avg_latency_ms": "57.6", "throughput_fps": "1458.3"},
     ])
     write_csv(os.path.join(d, "gating.csv"), [
-        {"topk": "4", "score": "motion", "top1": "0.63", "top5": "0.86",
-         "avg_latency_ms": "12.7"},
-        {"topk": "16", "score": "motion", "top1": "0.67", "top5": "0.89",
-         "avg_latency_ms": "48.7"},
+        {"k": "4", "top1": "0.63", "top5": "0.86",
+         "avg_latency_ms": "12.7", "throughput_clips_per_s": "629.9"},
+        {"k": "16", "top1": "0.67", "top5": "0.89",
+         "avg_latency_ms": "48.7", "throughput_clips_per_s": "164.3"},
     ])
     write_csv(os.path.join(d, "feature.csv"), [
         {"sigma": "0.0", "mask_ratio": "0.0", "top1": "0.67", "top5": "0.89",
