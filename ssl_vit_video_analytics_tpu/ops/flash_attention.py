@@ -58,45 +58,109 @@ def _pad_to(x, size, axis):
 
 
 def _block(L: int, Lk: int, H: int, d: int, target: int = 512,
-           budget_mb: float = 11.0) -> int:
+           budget_mb: float = 40.0) -> int:
     """Largest multiple-of-128 divisor of L <= target that fits VMEM.
 
     Per-cell residents: q/o blocks (bq x H*d), K/V (Lk x H*d), and ~2 live
-    fp32 [bq, Lk] logits buffers from the unrolled head loop.
+    fp32 [bq, Lk] logits buffers from the unrolled head loop. (The 40 MB
+    budget matters for the 3136-token decoder: an 11 MB budget only admitted
+    bq=128 — 28 q-blocks per batch row — where bq=512 runs the same FLOPs in
+    7 much fatter matmul cells.)
     """
     budget = int(budget_mb * 1024 * 1024)
-    fixed = 2 * Lk * H * d * 2  # K and V, bf16
+    gs = max(1, min(H, 128 // max(d, 1)))
+    fixed = 2 * Lk * H * d * 2 + 2 * gs * Lk * gs * d * 2  # K/V + expanded K/V
     for b in (512, 384, 256, 128):
         if b > target or L % b:
             continue
-        need = fixed + 2 * b * H * d * 2 + 2 * b * Lk * 4
+        need = fixed + 2 * b * H * d * 2 + 2 * b * gs * Lk * 4
         if need <= budget:
             return b
     return min(L, 128)
 
 
+def _gbatch(B: int, Lq_p: int, Lk: int, H: int, d: int,
+            budget_mb: float = 40.0, bwd: bool = False) -> int:
+    """Batch-rows-per-grid-cell for SHORT sequences.
+
+    At L <= 512 a (B, 1) grid of one-row cells is overhead-bound: TinyViT
+    stage 3 (BT=256 rows, L=196, 12 heads of 32) measured ~4% MXU — the
+    per-cell prologue/DMA sequencing dwarfs the 12 tiny matmuls. Processing G
+    rows per cell amortizes that fixed cost G-fold while keeping the same
+    math. Returns the largest G in {8,4,2,1} that divides B and fits VMEM
+    (K/V/q/o/lse blocks scale with G; the live logits buffers do not — the
+    (g, h) loop is sequential)."""
+    if Lq_p > 512 or Lk > 1024:
+        return 1
+    budget = int(budget_mb * 1024 * 1024)
+    gs = max(1, min(H, 128 // max(d, 1)))
+    per_row = 2 * Lk * H * d * 2 + 2 * Lq_p * H * d * 2  # K,V,q,o bf16
+    if bwd:
+        per_row += 2 * Lk * H * d * 4 + 2 * Lq_p * H * d * 2  # dK/dV scratch + do/dq
+    live = 3 * Lq_p * gs * Lk * 4 + 2 * gs * Lk * gs * d * 2
+    for g in (8, 4, 2, 1):
+        if B % g == 0 and g * per_row + live <= budget:
+            return g
+    return 1
+
+
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, H, d):
-    lses = []
-    for h in range(H):
-        sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)  # [bq, d]
-        k = k_ref[0, :, sl]                                    # [Lk, d]
-        v = v_ref[0, :, sl]                                    # [Lk, d]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq, Lk]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < l_kv, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=1, keepdims=True)
-        p = (e / denom).astype(v.dtype)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
-        lses.append(jnp.transpose(m + jnp.log(denom)))  # [1, bq]
-    lse_ref[0] = jnp.concatenate(lses, axis=0)          # [H, bq]
+def _groups(H: int, d: int) -> list[tuple[int, int]]:
+    """Split H heads into MXU-width groups: gs = min(H, 128 // d) heads are
+    processed per matmul (plus a remainder group). Returns [(h0, gs), ...]."""
+    gs = max(1, min(H, 128 // max(d, 1)))
+    out = []
+    h = 0
+    while h < H:
+        out.append((h, min(gs, H - h)))
+        h += gs
+    return out
+
+
+def _expand_heads(x, gs: int, d: int):
+    """[Lk, gs*d] -> sublane-stacked, lane-masked [gs*Lk, gs*d]: row block j
+    holds head j's values in its own d lanes and ZEROS elsewhere.
+
+    This is the head-group packing trick: a dot against the expanded operand
+    contracts over the full gs*d lanes, and the zero blocks kill every
+    cross-head term — gs small K=d matmuls (fill/drain-bound on the MXU at
+    d=32) become ONE K=gs*d matmul at gs x the FLOPs but ~gs x the efficiency
+    and 1/gs the op-issue count. No transposes anywhere."""
+    if gs == 1:
+        return x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.concatenate(
+        [jnp.where((lane >= j * d) & (lane < (j + 1) * d), x, 0)
+         for j in range(gs)], axis=0)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, H, d, G):
+    Lk = k_ref.shape[1]
+    for g in range(G):
+        lses = [None] * H
+        for h0, gs in _groups(H, d):
+            sl = slice(h0 * d, (h0 + gs) * d)
+            q = q_ref[g, :, sl] * jnp.asarray(scale, q_ref.dtype)  # [bq, gs*d]
+            k_exp = _expand_heads(k_ref[g, :, sl], gs, d)          # [gs*Lk, gs*d]
+            v_exp = _expand_heads(v_ref[g, :, sl], gs, d)
+            s_all = jax.lax.dot_general(q, k_exp, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)  # [bq, gs*Lk]
+            ps = []
+            for j in range(gs):
+                s = s_all[:, j * Lk:(j + 1) * Lk]
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < l_kv, s, NEG_INF)
+                m = jnp.max(s, axis=1, keepdims=True)
+                e = jnp.exp(s - m)
+                denom = jnp.sum(e, axis=1, keepdims=True)
+                ps.append((e / denom).astype(v_exp.dtype))
+                lses[h0 + j] = jnp.transpose(m + jnp.log(denom))   # [1, bq]
+            p_all = ps[0] if gs == 1 else jnp.concatenate(ps, axis=1)
+            o = jax.lax.dot_general(p_all, v_exp, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)  # [bq, gs*d] packed
+            o_ref[g, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[g] = jnp.concatenate(lses, axis=0)          # [H, bq]
 
 
 def _fa_fwd_impl(q, k, v, scale, l_kv, H):
@@ -105,18 +169,19 @@ def _fa_fwd_impl(q, k, v, scale, l_kv, H):
     Lk = k.shape[1]
     d = HD // H
     bq = _block(Lq, Lk, H, d)
-    grid = (B, Lq // bq)
+    G = _gbatch(B, Lq, Lk, H, d) if Lq == bq else 1
+    grid = (B // G, Lq // bq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv, H=H, d=d),
+        functools.partial(_fwd_kernel, scale=scale, l_kv=l_kv, H=H, d=d, G=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
@@ -132,12 +197,12 @@ def _fa_fwd_impl(q, k, v, scale, l_kv, H):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, l_q, l_kv, H, d, nq):
+                *, scale, l_q, l_kv, H, d, nq, G):
     """Fused dQ/dK/dV: one pass over q-blocks, K/V resident.
 
     dK/dV accumulate in fp32 VMEM scratch across the sequential grid steps
     of each batch row and flush to the (revisited) output block on the last
-    q-block. Five matmuls per (head, q-block): S, dP, dQ, dK, dV.
+    q-block. Five matmuls per (batch row, head, q-block): S, dP, dQ, dK, dV.
     """
     i = pl.program_id(1)
     q_start = i * q_ref.shape[1]
@@ -147,51 +212,75 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    for h in range(H):
-        sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)  # [bq, d]
-        k = k_ref[0, :, sl]                                    # [Lk, d]
-        v = v_ref[0, :, sl]
-        do = do_ref[0, :, sl]                                  # [bq, d]
-        lse = jnp.transpose(lse_ref[0, h:h + 1])               # [bq, 1]
-        dvo = jnp.transpose(dvo_ref[0, h:h + 1])               # [bq, 1]
+    Lk = k_ref.shape[1]
+    for g in range(G):
+        for h0, gs in _groups(H, d):
+            sl = slice(h0 * d, (h0 + gs) * d)
+            q = q_ref[g, :, sl] * jnp.asarray(scale, q_ref.dtype)  # [bq, gs*d]
+            do = do_ref[g, :, sl]                                  # [bq, gs*d]
+            k_exp = _expand_heads(k_ref[g, :, sl], gs, d)          # [gs*Lk, gs*d]
+            v_exp = _expand_heads(v_ref[g, :, sl], gs, d)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq, Lk]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
-        valid = (col < l_kv) & (row < l_q)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)            # [bq, Lk] f32
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = jnp.where(valid, p * (dp - dvo), 0.0)
-        ds_lo = ds.astype(k.dtype)
-        dq = jax.lax.dot_general(ds_lo, k, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
-        # dk = ds^T @ (q*scale); dv = p^T @ dO — accumulated across q-blocks
-        dk_acc[:, sl] += jax.lax.dot_general(
-            ds_lo, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [Lk, d]
-        dv_acc[:, sl] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [Lk, d]
+            # S and dP for the whole group in one K=gs*d dot each; the zero
+            # blocks in k_exp/v_exp make every cross-head column exact.
+            s_all = jax.lax.dot_general(q, k_exp, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)  # [bq, gs*Lk]
+            dp_all = jax.lax.dot_general(do, v_exp, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            ps, dss = [], []
+            for j in range(gs):
+                s = s_all[:, j * Lk:(j + 1) * Lk]
+                dp = dp_all[:, j * Lk:(j + 1) * Lk]
+                lse = jnp.transpose(lse_ref[g, h0 + j:h0 + j + 1])  # [bq, 1]
+                dvo = jnp.transpose(dvo_ref[g, h0 + j:h0 + j + 1])  # [bq, 1]
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
+                valid = (col < l_kv) & (row < l_q)
+                p = jnp.where(valid, jnp.exp(s - lse), 0.0)         # [bq, Lk] f32
+                ds = jnp.where(valid, p * (dp - dvo), 0.0)
+                ps.append(p)
+                dss.append(ds)
+            p_all = (ps[0] if gs == 1 else jnp.concatenate(ps, axis=1)).astype(do.dtype)
+            ds_all = (dss[0] if gs == 1 else jnp.concatenate(dss, axis=1)).astype(k_exp.dtype)
+
+            # dQ: one K=gs*Lk dot; k_exp zeros keep heads separate -> packed
+            dq = jax.lax.dot_general(ds_all, k_exp, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # [bq, gs*d]
+            dq_ref[g, :, sl] = (dq * scale).astype(dq_ref.dtype)
+            # dK/dV: contract over bq -> [gs*Lk, gs*d]; only each head's own
+            # diagonal (rows j*Lk.., lanes j*d..) is valid, the rest is
+            # cross-head garbage we never read.
+            dk_all = jax.lax.dot_general(ds_all, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dv_all = jax.lax.dot_general(p_all, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            if gs == 1:
+                dk_acc[g, :, sl] += dk_all
+                dv_acc[g, :, sl] += dv_all
+            else:
+                for j in range(gs):
+                    hsl = slice((h0 + j) * d, (h0 + j + 1) * d)
+                    jsl = slice(j * d, (j + 1) * d)
+                    dk_acc[g, :, hsl] += dk_all[j * Lk:(j + 1) * Lk, jsl]
+                    dv_acc[g, :, hsl] += dv_all[j * Lk:(j + 1) * Lk, jsl]
 
     @pl.when(i == nq - 1)
     def _flush():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _block_bwd(L: int, Lk: int, H: int, d: int, budget_mb: float = 60.0) -> int:
-    """q-block size for the fused backward: bq x Lk fp32 buffers (~3 live)
-    plus resident K/V (bf16) and fp32 dK/dV scratch."""
+    """q-block size for the fused backward: bq x gs*Lk fp32 buffers (~3 live)
+    plus resident K/V + head-expanded K/V (bf16) and fp32 dK/dV scratch."""
     budget = int(budget_mb * 1024 * 1024)
-    fixed = 2 * Lk * H * d * 2 + 2 * Lk * H * d * 4  # K,V bf16 + dK,dV f32
+    gs = max(1, min(H, 128 // max(d, 1)))
+    fixed = (2 * Lk * H * d * 2 + 2 * Lk * H * d * 4     # K,V bf16 + dK,dV f32
+             + 2 * gs * Lk * gs * d * 2)                 # expanded K/V
     for b in (512, 384, 256, 128):
         if L % b:
             continue
-        need = fixed + 4 * b * H * d * 2 + 3 * b * Lk * 4
+        need = fixed + 4 * b * H * d * 2 + 3 * b * gs * Lk * 4
         if need <= budget:
             return b
     return min(L, 128)
@@ -207,22 +296,23 @@ def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_q, l_kv, H):
 
     bq = _block_bwd(Lq, Lk, H, d)
     nq = Lq // bq
+    G = _gbatch(B, Lq, Lk, H, d, bwd=True) if nq == 1 else 1
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, l_q=l_q, l_kv=l_kv,
-                          H=H, d=d, nq=nq),
-        grid=(B, nq),
+                          H=H, d=d, nq=nq, G=G),
+        grid=(B // G, nq),
         in_specs=[
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
@@ -230,8 +320,8 @@ def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_q, l_kv, H):
             jax.ShapeDtypeStruct((B, Lk, HD), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lk, HD), jnp.float32),
-            pltpu.VMEM((Lk, HD), jnp.float32),
+            pltpu.VMEM((G, Lk, HD), jnp.float32),
+            pltpu.VMEM((G, Lk, HD), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),

@@ -36,3 +36,60 @@ def test_two_stage_finetune(synth_data, tmp_path):
     assert 0.0 <= out["best_top1"] <= 1.0
     # best checkpoint name is metric-encoded like the reference
     assert "finetune_epoch_" in out["best_ckpt"] and "_top1_" in out["best_ckpt"]
+
+
+def test_ssl_to_finetune_interop(synth_data, tmp_path):
+    """Cross-entry path: pipeline-A SSL pretrain -> ft_ssl finetune loads the
+    encoder into the classifier backbone (ref: src/train_finetune.py:43-63
+    remaps encoder.* keys onto the backbone)."""
+    import glob
+
+    import jax
+    import numpy as np
+
+    from ssl_vit_video_analytics_tpu.entry import train_ssl
+    from ssl_vit_video_analytics_tpu.train import finetune_engine as eng
+    from ssl_vit_video_analytics_tpu.utils.checkpoint import restore_checkpoint
+
+    ssl_cfg = {
+        "seed": 7,
+        "device": {"compute_dtype": "float32", "data_parallel": False},
+        "dataset": {"backend": "packed", "train_split": synth_data["train"],
+                    "clip_len": 4, "stride": 2, "image_size": 32},
+        "paths": {"log_dir": str(tmp_path / "logs"), "split_root": ""},
+        "model": {"embed_dim": 32, "temporal_layers": 1, "temporal_heads": 2},
+        "training": {"epochs": 1, "batch_size": 4, "learning_rate": 1e-3,
+                     "weight_decay": 0.05, "save_every": 1,
+                     "save_dir": str(tmp_path / "ssl_a"), "clip_grad_norm": 1.0,
+                     "log_interval": 100, "scheduler": {"enable": False}},
+        "ssl_objectives": {"mask_ratio": 0.75, "mfm_weight": 1.0,
+                           "ema_momentum": 0.99, "var_weight": 25.0,
+                           "top_weight": 1.0, "top_start_epoch": 1,
+                           "top_every": 2, "top_subsample": 0.5},
+    }
+    out = train_ssl.run(ssl_cfg, log=lambda *_: None, max_steps=2)
+    ckpts = sorted(glob.glob(os.path.join(out["save_dir"], "ssl_epoch_*")))
+    ckpts = [c for c in ckpts if not c.endswith(".meta.json")]
+    assert ckpts, "SSL pretrain produced no periodic checkpoint"
+
+    ft_cfg = tiny_cfg(synth_data, tmp_path, mode="ft_ssl")
+    ft_cfg["model"]["pretrained_ssl"] = ckpts[-1]
+    logs = []
+    ft_out = train_finetune.run(ft_cfg, log=logs.append)
+    assert any("Loaded SSL pretrain" in l for l in logs), logs[:5]
+    assert ft_out["best_ckpt"] is not None
+
+    # the remap really copied the encoder: backbone == ssl encoder leaf-for-leaf
+    ssl_vars = restore_checkpoint(ckpts[-1])
+    model = eng.build_model(4, 32)
+    variables = eng.init_model(model, jax.random.key(0), (2, 4, 32, 32, 3))
+    loaded = eng.load_pretrained_ssl(variables, ssl_vars)
+    src_leaves = jax.tree.leaves(ssl_vars["params"]["encoder"])
+    dst_leaves = jax.tree.leaves(loaded["params"]["backbone"])
+    assert len(src_leaves) == len(dst_leaves)
+    for s, d in zip(src_leaves, dst_leaves):
+        np.testing.assert_array_equal(np.asarray(s, np.float32), np.asarray(d, np.float32))
+    # and it actually changed the random init
+    init_leaves = jax.tree.leaves(variables["params"]["backbone"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(init_leaves, dst_leaves))

@@ -9,7 +9,8 @@ from ssl_vit_video_analytics_tpu.ops.attention import _sdpa_xla
 from ssl_vit_video_analytics_tpu.ops.flash_attention import flash_attention
 
 
-@pytest.mark.parametrize("B,L,H,D", [(2, 128, 2, 32), (1, 196, 4, 40), (1, 300, 2, 64)])
+@pytest.mark.parametrize("B,L,H,D", [(2, 128, 2, 32), (1, 196, 4, 40), (1, 300, 2, 64),
+                                     (8, 196, 3, 32)])  # B=8, short L -> G-batched grid
 def test_forward_matches_xla(B, L, H, D):
     ks = jax.random.split(jax.random.key(0), 3)
     q = jax.random.normal(ks[0], (B, L, H, D))
@@ -20,8 +21,8 @@ def test_forward_matches_xla(B, L, H, D):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-def test_grads_match_xla():
-    B, L, H, D = 1, 196, 2, 32
+@pytest.mark.parametrize("B,L,H,D", [(1, 196, 2, 32), (8, 196, 3, 32)])
+def test_grads_match_xla(B, L, H, D):
     ks = jax.random.split(jax.random.key(1), 3)
     q = jax.random.normal(ks[0], (B, L, H, D))
     k = jax.random.normal(ks[1], (B, L, H, D))
