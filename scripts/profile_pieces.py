@@ -48,7 +48,12 @@ def train_bench(module, x, tag, train_kw="train", **call_kw):
     variables = jax.jit(lambda k: module.init(k, x, **call_kw))(key)
     params = variables["params"]
     bs = variables.get("batch_stats")
-    mode = {"train": True} if train_kw == "train" else {"deterministic": False}
+    if train_kw == "train":
+        mode = {"train": True}
+    elif train_kw is None:
+        mode = {}
+    else:
+        mode = {"deterministic": False}
 
     def loss_fn(p, xx):
         v = {"params": p}
@@ -168,6 +173,19 @@ def main():
 
     if want("attn"):
         run_attn_micro(B, BT, dtype, rng)
+
+    if want("mbconv"):
+        from ssl_vit_video_analytics_tpu.models.layers import ConvBNAct, SELayer, MBConv
+        x56 = jnp.asarray(rng.standard_normal((BT, 56, 56, 96)), dtype)
+        x56w = jnp.asarray(rng.standard_normal((BT, 56, 56, 384)), dtype)
+        train_bench(MBConv(features=96, dtype=dtype), x56, "mbconv full @56^2 96->384->96")
+        train_bench(ConvBNAct(384, kernel=1, act=False, dtype=dtype), x56,
+                    "  pw expand 1x1 96->384 +BN")
+        train_bench(ConvBNAct(384, kernel=3, groups=384, act=False, dtype=dtype), x56w,
+                    "  dw 3x3 384ch +BN")
+        train_bench(SELayer(dtype=dtype), x56w, "  SE @384", train_kw=None)
+        train_bench(ConvBNAct(96, kernel=1, act=False, dtype=dtype), x56w,
+                    "  pw project 1x1 384->96 +BN")
 
     if want("matmul"):
         a = jnp.asarray(rng.standard_normal((8192, 8192)), dtype)

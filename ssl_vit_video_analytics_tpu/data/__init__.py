@@ -8,4 +8,4 @@ from .masking import (
     get_mask_ratio, make_token_mask, random_token_mask, tube_token_mask,
     get_tube_mask, frame_mask, count_masked, count_visible,
 )
-from .fixtures import make_synthetic_dataset
+from .fixtures import make_synthetic_dataset, make_synthetic_faces

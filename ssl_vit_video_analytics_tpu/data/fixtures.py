@@ -35,6 +35,67 @@ def _synth_video(rng: np.random.Generator, label: int, num_frames: int, size: in
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+def _synth_face(rng: np.random.Generator, size: int = 224) -> np.ndarray:
+    """BGR uint8 [size, size, 3] with one synthetic face YuNet actually
+    detects (score ~0.9 at default thresholds): soft radially-shaded skin,
+    sclera/iris/pupil eyes, brows, nose shadow, two-tone lips, hair. Position
+    and scale are jittered per call."""
+    assert cv2 is not None, "cv2 required for synthetic faces"
+    img = np.zeros((size, size, 3), np.uint8)
+    img[:] = rng.integers(40, 100, 3, dtype=np.uint8)
+    s = int(size * rng.uniform(0.22, 0.38))
+    cx = int(rng.uniform(s, size - s))
+    cy = int(rng.uniform(s * 1.1, size - s * 1.1))
+    yy, xx = np.mgrid[0:size, 0:size]
+    d = np.sqrt(((xx - cx) / (s * 0.72)) ** 2 + ((yy - cy) / float(s)) ** 2)
+    head = np.clip(1.0 - d, 0, 1)
+    skin = np.stack([120 + 60 * head, 150 + 70 * head, 190 + 55 * head], -1)
+    m = (d < 1.0).astype(np.float32)[..., None]
+    img = (img * (1 - m) + skin * m).astype(np.uint8)
+    cv2.ellipse(img, (cx, cy - int(s * 0.55)), (int(s * 0.78), int(s * 0.55)),
+                0, 180, 360, (30, 25, 20), -1)
+    for dx in (-int(s * 0.33), int(s * 0.33)):
+        ex, ey = cx + dx, cy - int(s * 0.15)
+        cv2.ellipse(img, (ex, ey), (int(s * 0.18), int(s * 0.09)), 0, 0, 360,
+                    (245, 245, 245), -1)
+        cv2.circle(img, (ex, ey), int(s * 0.07), (90, 60, 30), -1)
+        cv2.circle(img, (ex, ey), max(1, int(s * 0.03)), (10, 10, 10), -1)
+        cv2.ellipse(img, (ex, ey), (int(s * 0.18), int(s * 0.09)), 0, 0, 360,
+                    (70, 60, 50), 1)
+        cv2.ellipse(img, (ex, ey - int(s * 0.2)), (int(s * 0.2), int(s * 0.06)),
+                    0, 200, 340, (40, 35, 30), 4)
+    cv2.line(img, (cx, cy - int(s * 0.1)), (cx - int(s * 0.06), cy + int(s * 0.22)),
+             (120, 140, 170), 2)
+    cv2.ellipse(img, (cx, cy + int(s * 0.25)), (int(s * 0.1), int(s * 0.05)),
+                0, 0, 180, (100, 110, 140), 2)
+    cv2.ellipse(img, (cx, cy + int(s * 0.52)), (int(s * 0.25), int(s * 0.08)),
+                0, 0, 180, (90, 90, 170), -1)
+    cv2.ellipse(img, (cx, cy + int(s * 0.50)), (int(s * 0.25), int(s * 0.05)),
+                0, 180, 360, (110, 110, 190), -1)
+    return img
+
+
+def make_synthetic_faces(root: str, num_frames: int = 32, size: int = 224,
+                         face_rate: float = 0.75, seed: int = 0) -> str:
+    """Write a frame tree of JPEGs for the VISUAL privacy path: ~face_rate of
+    the frames contain a YuNet-detectable synthetic face, the rest are
+    face-free backgrounds — so detection-rate stats are non-degenerate.
+    Returns root."""
+    assert cv2 is not None, "cv2 required for synthetic faces"
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for i in range(num_frames):
+        if rng.uniform() < face_rate:
+            img = _synth_face(rng, size)
+        else:
+            img = np.zeros((size, size, 3), np.uint8)
+            img[:] = rng.integers(30, 120, 3, dtype=np.uint8)
+            cv2.rectangle(img, (size // 4, size // 4), (size // 2, size // 2),
+                          tuple(int(v) for v in rng.integers(0, 255, 3)), -1)
+        cv2.imwrite(os.path.join(root, f"frame_{i:05d}.jpg"), img)
+    return root
+
+
 def make_synthetic_dataset(
     root: str,
     num_classes: int = 4,

@@ -87,16 +87,22 @@ class ClipDataset:
         return len(self.samples)
 
     def get_clip(self, index: int) -> np.ndarray:
-        frame_dir, _ = self.samples[index]
-        num_frames = self.store.num_frames(frame_dir)
-        if num_frames == 0:
-            # Corrupt-sample fallback: random resample, like the reference
-            # (ref: src/datasets/loader.py:109-112).
-            new_index = random.randint(0, len(self.samples) - 1)
-            return self.get_clip(new_index)
-        sampler = sample_frame_indices_mae if self.sampling == "mae" else sample_frame_indices
-        idxs = sampler(num_frames, index, self.clip_len, self.stride, self.seed)
-        return self.store.read_frames(frame_dir, idxs, self.image_size)
+        # Corrupt-sample fallback: random resample, like the reference
+        # (ref: src/datasets/loader.py:109-112) — but BOUNDED: with an
+        # unreadable dataset (e.g. wrong image_size -> no packed file and no
+        # jpegs anywhere) unbounded resampling recursed to a RecursionError.
+        for _ in range(16):
+            frame_dir, _ = self.samples[index]
+            num_frames = self.store.num_frames(frame_dir)
+            if num_frames > 0:
+                sampler = (sample_frame_indices_mae if self.sampling == "mae"
+                           else sample_frame_indices)
+                idxs = sampler(num_frames, index, self.clip_len, self.stride, self.seed)
+                return self.store.read_frames(frame_dir, idxs, self.image_size)
+            index = random.randint(0, len(self.samples) - 1)
+        raise RuntimeError(
+            f"[ERROR] 16 consecutive unreadable videos (last: {frame_dir}) — "
+            f"is dataset.image_size={self.image_size} right for this frame tree?")
 
     def label(self, index: int) -> int:
         return self.samples[index][1]

@@ -70,3 +70,38 @@ def test_run_dynamic_entry_early_exit(synth_data, tmp_path):
     rows = read_csv_dicts(out["csv"])
     assert list(rows[0].keys()) == list(run_dynamic.EARLY_EXIT_FIELDS)
     assert 2.0 <= float(rows[0]["avg_frames"]) <= 4.0
+
+
+import pytest
+
+
+@pytest.mark.skipif(not __import__("os").path.exists("assets/yunet.onnx"),
+                    reason="YuNet weights not vendored")
+def test_yunet_real_detector_blur_suppresses_detection(tmp_path):
+    """Real YuNet path (weights-gated): the synthetic face is detected
+    before anonymization and suppressed after the ROI blur."""
+    import numpy as np
+
+    from ssl_vit_video_analytics_tpu.data.fixtures import _synth_face
+    from ssl_vit_video_analytics_tpu.privacy.visual import (
+        VisualAnonymizer, YuNetFaceDetector, make_detector)
+
+    det = make_detector("assets/yunet.onnx")
+    assert isinstance(det, YuNetFaceDetector)
+
+    rng = np.random.default_rng(0)
+    hits = 0
+    suppressed = 0
+    n = 4
+    for _ in range(n):
+        img = _synth_face(rng, 224)
+        before = det.detect(img)
+        if len(before) == 0:
+            continue
+        hits += 1
+        anon, n_faces = VisualAnonymizer(det, blur_kernel=41).apply(img)
+        assert n_faces == len(before)
+        if len(det.detect(anon)) == 0:
+            suppressed += 1
+    assert hits >= n // 2, f"YuNet detected only {hits}/{n} synthetic faces"
+    assert suppressed >= hits // 2, "blur failed to suppress re-detection"
