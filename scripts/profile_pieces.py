@@ -174,6 +174,25 @@ def main():
     if want("attn"):
         run_attn_micro(B, BT, dtype, rng)
 
+    if want("block"):
+        from flax import linen as nn
+        from ssl_vit_video_analytics_tpu.models.layers import (
+            TransformerBlock, Mlp, MultiHeadAttention)
+        for tag, (L, D, Hh, kd, rows) in {
+            "s2": (784, 192, 6, 32, BT),
+            "s3": (196, 384, 12, 32, BT),
+            "dec": (3136, 384, 6, 64, B),
+        }.items():
+            xb = jnp.asarray(rng.standard_normal((rows, L, D)), dtype)
+            train_bench(TransformerBlock(Hh, key_dim=kd, dtype=dtype),
+                        xb, f"block {tag} [{rows},{L},{D}]", train_kw="deterministic")
+            train_bench(MultiHeadAttention(Hh, key_dim=kd, dtype=dtype),
+                        xb, f"  attn+qkv+proj {tag}", train_kw=None)
+            train_bench(Mlp(4 * D, dtype=dtype), xb, f"  mlp {tag}",
+                        train_kw="deterministic")
+            train_bench(nn.LayerNorm(dtype=dtype), xb, f"  ln {tag}",
+                        train_kw=None)
+
     if want("mbconv"):
         from ssl_vit_video_analytics_tpu.models.layers import ConvBNAct, SELayer, MBConv
         x56 = jnp.asarray(rng.standard_normal((BT, 56, 56, 96)), dtype)

@@ -63,11 +63,27 @@ def _valid_rows(arr: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return arr[np.asarray(valid)]
 
 
+def _measure_window(rt: dict, ds, batch_size: int) -> tuple[int, int]:
+    """Warmup/measure batch window, clamped to the actual batch count.
+
+    The first batch always pays compilation; with a small val split a fixed
+    num_warmup could swallow every batch (measuring nothing) or, at 0, let
+    compile time into the window (round-1 example CSVs showed an 84 s
+    first-row latency). Guarantee: >= 1 warmup batch, >= 1 measured batch
+    whenever two batches exist.
+    """
+    n_batches = -(-len(ds) // batch_size)
+    warm = int(rt.get("num_warmup", 10))
+    meas = int(rt.get("num_measure", 50))
+    warm = max(1, min(warm, n_batches - 1)) if n_batches > 1 else 0
+    return warm, max(1, meas)
+
+
 def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
     dyn = cfg["dynamic"]
     rt = cfg["runtime"]
     B = int(rt["batch_size"])
-    warm, meas = int(rt.get("num_warmup", 10)), int(rt.get("num_measure", 50))
+    warm, meas = _measure_window(rt, ds, B)
 
     def embed_fn(frames):
         return model.apply(variables, frames, method="frame_embedding")
@@ -131,7 +147,7 @@ def run_frame_gating(cfg, model, variables, ds, log) -> list[dict]:
     dyn = cfg["dynamic"]
     rt = cfg["runtime"]
     B = int(rt["batch_size"])
-    warm, meas = int(rt.get("num_warmup", 10)), int(rt.get("num_measure", 50))
+    warm, meas = _measure_window(rt, ds, B)
     score = str(dyn.get("gating_score", "motion"))
 
     rows = []
@@ -177,7 +193,7 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
     dyn = cfg["dynamic"]
     rt = cfg["runtime"]
     B = int(rt["batch_size"])
-    warm, meas = int(rt.get("num_warmup", 10)), int(rt.get("num_measure", 50))
+    warm, meas = _measure_window(rt, ds, B)
     score = str(dyn.get("gating_score", "motion"))
 
     def embed_fn(frames):

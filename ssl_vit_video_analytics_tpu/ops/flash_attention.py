@@ -25,8 +25,8 @@ the minimal 5 matmuls per (head, q-block) — S, dP, dQ, dK, dV — where the
 previous two-kernel split (dQ grid + dKV grid) recomputed S and dP in both,
 7 matmuls total, and re-streamed full Q/dO per kv-block: measured 3.4x the
 forward; the fused kernel is ~2.3x. D = rowsum(dO * O) is one cheap XLA
-reduction. lse/D are stored [B, H, L] lane-oriented (a [.., 1]-shaped buffer
-would be 128x padded).
+reduction. lse/D are stored [B, L, H]: q-rows on sublanes (so non-128 q-block
+sizes stay legal), heads on lanes, head reads are static lane slices.
 
 Matmul operands stay in the input dtype (bf16-in/fp32-accum runs the MXU at
 full rate); softmax math is fp32.
@@ -57,26 +57,35 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _block(L: int, Lk: int, H: int, d: int, target: int = 512,
-           budget_mb: float = 40.0) -> int:
-    """Largest multiple-of-128 divisor of L <= target that fits VMEM.
+@functools.lru_cache(maxsize=None)
+def _plan(Lq: int, Lk_p: int, H: int, d: int,
+          budget_mb: float = 60.0) -> tuple[int, int]:
+    """(bq, Lq_padded): q-block size minimizing Lq padding under VMEM.
 
-    Per-cell residents: q/o blocks (bq x H*d), K/V (Lk x H*d), and ~2 live
-    fp32 [bq, Lk] logits buffers from the unrolled head loop. (The 40 MB
-    budget matters for the 3136-token decoder: an 11 MB budget only admitted
-    bq=128 — 28 q-blocks per batch row — where bq=512 runs the same FLOPs in
-    7 much fatter matmul cells.)
+    Only SUBLANE alignment (multiple of 8) is required of the q-rows dim — a
+    multiple-of-128 restriction forced padding 784->1024 (+30% rows at
+    stage 2), 3136->3584 (+14%, decoder), 196->256 (+30%, stage 3), and every
+    padded row pays matmul AND exp cost in both directions. Picks the fewest
+    blocks nq with bq = roundup8(ceil(Lq/nq)) <= 512 fitting the budget
+    (fatter blocks stopped helping); nq=1 keeps G-batching eligible.
+
+    Sized against the fused BACKWARD's working set (the tighter of the two):
+    resident K/V bf16 + fp32 dK/dV scratch + expanded K/V, ~3 live fp32
+    [bq, gs*Lk] buffers + q/do/dq/o blocks. Forward reuses the same bq so
+    one padding serves both kernels.
     """
     budget = int(budget_mb * 1024 * 1024)
     gs = max(1, min(H, 128 // max(d, 1)))
-    fixed = 2 * Lk * H * d * 2 + 2 * gs * Lk * gs * d * 2  # K/V + expanded K/V
-    for b in (512, 384, 256, 128):
-        if b > target or L % b:
+    fixed = (2 * Lk_p * H * d * 2 + 2 * Lk_p * H * d * 4
+             + 2 * gs * Lk_p * gs * d * 2)
+    per_b = 4 * H * d * 2 + 3 * gs * Lk_p * 4
+    for nq in range(1, 512):
+        bq = -(-(-(-Lq // nq)) // 8) * 8
+        if bq > 512:
             continue
-        need = fixed + 2 * b * H * d * 2 + 2 * b * gs * Lk * 4
-        if need <= budget:
-            return b
-    return min(L, 128)
+        if fixed + per_b * bq <= budget:
+            return bq, nq * bq
+    return 128, -(-Lq // 128) * 128
 
 
 def _gbatch(B: int, Lq_p: int, Lk: int, H: int, d: int,
@@ -155,20 +164,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, H, d, G):
                 e = jnp.exp(s - m)
                 denom = jnp.sum(e, axis=1, keepdims=True)
                 ps.append((e / denom).astype(v_exp.dtype))
-                lses[h0 + j] = jnp.transpose(m + jnp.log(denom))   # [1, bq]
+                lses[h0 + j] = m + jnp.log(denom)                  # [bq, 1]
             p_all = ps[0] if gs == 1 else jnp.concatenate(ps, axis=1)
             o = jax.lax.dot_general(p_all, v_exp, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)  # [bq, gs*d] packed
             o_ref[g, :, sl] = o.astype(o_ref.dtype)
-        lse_ref[g] = jnp.concatenate(lses, axis=0)          # [H, bq]
+        lse_ref[g] = jnp.concatenate(lses, axis=1)          # [bq, H]
 
 
-def _fa_fwd_impl(q, k, v, scale, l_kv, H):
-    """q: [B, Lq, H*d], k/v: [B, Lk, H*d] (L padded to 128 multiples)."""
+def _fa_fwd_impl(q, k, v, scale, l_kv, H, bq):
+    """q: [B, Lq, H*d] (Lq = nq*bq), k/v: [B, Lk, H*d] (Lk 128-padded)."""
     B, Lq, HD = q.shape
     Lk = k.shape[1]
     d = HD // H
-    bq = _block(Lq, Lk, H, d)
     G = _gbatch(B, Lq, Lk, H, d) if Lq == bq else 1
     grid = (B // G, Lq // bq)
     out, lse = pl.pallas_call(
@@ -181,11 +189,13 @@ def _fa_fwd_impl(q, k, v, scale, l_kv, H):
         ],
         out_specs=[
             pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            # lse is [B, Lq, H]: q-rows on SUBLANES so non-128 bq blocks are
+            # legal (lane dim H is always the full array dim)
+            pl.BlockSpec((G, bq, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Lq), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -197,7 +207,7 @@ def _fa_fwd_impl(q, k, v, scale, l_kv, H):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, l_q, l_kv, H, d, nq, G):
+                *, scale, H, d, nq, G):
     """Fused dQ/dK/dV: one pass over q-blocks, K/V resident.
 
     dK/dV accumulate in fp32 VMEM scratch across the sequential grid steps
@@ -205,7 +215,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref,
     q-block. Five matmuls per (batch row, head, q-block): S, dP, dQ, dK, dV.
     """
     i = pl.program_id(1)
-    q_start = i * q_ref.shape[1]
 
     @pl.when(i == 0)
     def _init():
@@ -231,13 +240,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref,
             for j in range(gs):
                 s = s_all[:, j * Lk:(j + 1) * Lk]
                 dp = dp_all[:, j * Lk:(j + 1) * Lk]
-                lse = jnp.transpose(lse_ref[g, h0 + j:h0 + j + 1])  # [bq, 1]
-                dvo = jnp.transpose(dvo_ref[g, h0 + j:h0 + j + 1])  # [bq, 1]
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
-                valid = (col < l_kv) & (row < l_q)
-                p = jnp.where(valid, jnp.exp(s - lse), 0.0)         # [bq, Lk] f32
-                ds = jnp.where(valid, p * (dp - dvo), 0.0)
+                lse = lse_ref[g, :, h0 + j:h0 + j + 1]              # [bq, 1]
+                dvo = dvo_ref[g, :, h0 + j:h0 + j + 1]              # [bq, 1]
+                # No validity masks needed (saves 2 [bq, Lk] where-passes +
+                # 2 iotas per head): padded K/V rows are ZEROS, so dp=0 and
+                # k_exp rows=0 kill every padded-column term before it can
+                # reach dq, and padded-column dk/dv rows are sliced off by
+                # the caller; padded q rows have do=0 => dvo=0 => ds=0, and
+                # their dq rows are sliced off too.
+                p = jnp.exp(s - lse)                                # [bq, Lk] f32
+                ds = p * (dp - dvo)
                 ps.append(p)
                 dss.append(ds)
             p_all = (ps[0] if gs == 1 else jnp.concatenate(ps, axis=1)).astype(do.dtype)
@@ -270,44 +282,27 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvo_ref,
         dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _block_bwd(L: int, Lk: int, H: int, d: int, budget_mb: float = 60.0) -> int:
-    """q-block size for the fused backward: bq x gs*Lk fp32 buffers (~3 live)
-    plus resident K/V + head-expanded K/V (bf16) and fp32 dK/dV scratch."""
-    budget = int(budget_mb * 1024 * 1024)
-    gs = max(1, min(H, 128 // max(d, 1)))
-    fixed = (2 * Lk * H * d * 2 + 2 * Lk * H * d * 4     # K,V bf16 + dK,dV f32
-             + 2 * gs * Lk * gs * d * 2)                 # expanded K/V
-    for b in (512, 384, 256, 128):
-        if L % b:
-            continue
-        need = fixed + 4 * b * H * d * 2 + 3 * b * gs * Lk * 4
-        if need <= budget:
-            return b
-    return min(L, 128)
-
-
-def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_q, l_kv, H):
+def _fa_bwd_impl(q, k, v, out, lse, do, scale, l_q, l_kv, H, bq):
     B, Lq, HD = q.shape
     Lk = k.shape[1]
     d = HD // H
-    # D_h = rowsum(dO_h * O_h) per head: [B, H, Lq], lane-oriented
+    # D_h = rowsum(dO_h * O_h) per head: [B, Lq, H] — same q-rows-on-sublanes
+    # layout as lse, no transpose
     dvo = jnp.sum((do.astype(jnp.float32) * out.astype(jnp.float32))
-                  .reshape(B, Lq, H, d), axis=-1).transpose(0, 2, 1)
+                  .reshape(B, Lq, H, d), axis=-1)
 
-    bq = _block_bwd(Lq, Lk, H, d)
     nq = Lq // bq
     G = _gbatch(B, Lq, Lk, H, d, bwd=True) if nq == 1 else 1
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, l_q=l_q, l_kv=l_kv,
-                          H=H, d=d, nq=nq, G=G),
+        functools.partial(_bwd_kernel, scale=scale, H=H, d=d, nq=nq, G=G),
         grid=(B // G, nq),
         in_specs=[
             pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, Lk, HD), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, bq), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bq, H), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((G, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -336,19 +331,21 @@ def _make_core(l_q: int, l_kv: int, d_real: int, H: int):
     """custom-vjp core over packed [B, L, H*d] arrays, specialized on the
     unpadded q/kv lengths, head dim, and head count."""
     scale = 1.0 / math.sqrt(d_real)
+    Lk_p = -(-l_kv // 128) * 128
+    bq, _ = _plan(l_q, Lk_p, H, d_real)
 
     @jax.custom_vjp
     def core(q, k, v):
-        out, _ = _fa_fwd_impl(q, k, v, scale, l_kv, H)
+        out, _ = _fa_fwd_impl(q, k, v, scale, l_kv, H, bq)
         return out
 
     def core_fwd(q, k, v):
-        out, lse = _fa_fwd_impl(q, k, v, scale, l_kv, H)
+        out, lse = _fa_fwd_impl(q, k, v, scale, l_kv, H, bq)
         return out, (q, k, v, out, lse)
 
     def core_bwd(res, do):
         q, k, v, out, lse = res
-        return _fa_bwd_impl(q, k, v, out, lse, do, scale, l_q, l_kv, H)
+        return _fa_bwd_impl(q, k, v, out, lse, do, scale, l_q, l_kv, H, bq)
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -362,12 +359,13 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     B, Lq, HD = q.shape
     Lk = k.shape[1]
     d = HD // num_heads
-    # Align Lq so large q-blocks divide it: a 784->896 pad only admits
-    # bq=128 (7 small grid cells); 784->1024 admits bq=512 (2 cells), which
-    # measures faster despite the extra masked rows.
-    q_align = 512 if Lq >= 512 else 256 if Lq >= 256 else 128
-    Lq_p = -(-Lq // q_align) * q_align
     Lk_p = -(-Lk // 128) * 128
+    # Minimal-pad plan: Lq padded only to nq * roundup8(Lq/nq) (784 stays
+    # 784 as 2x392, 3136 stays 3136 as 7x448, 196 -> 200) — every padded
+    # q-row costs matmul + exp in BOTH kernels; the old multiple-of-128
+    # alignment paid +14..30% rows. K stays 128-padded: per-head lane slices
+    # of the [bq, gs*Lk] logits must hit tile boundaries.
+    bq, Lq_p = _plan(Lq, Lk_p, num_heads, d)
     qf = _pad_to(q, Lq_p, 1)
     kf = _pad_to(k, Lk_p, 1)
     vf = _pad_to(v, Lk_p, 1)

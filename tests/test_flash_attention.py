@@ -21,7 +21,8 @@ def test_forward_matches_xla(B, L, H, D):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("B,L,H,D", [(1, 196, 2, 32), (8, 196, 3, 32)])
+@pytest.mark.parametrize("B,L,H,D", [(1, 196, 2, 32), (8, 196, 3, 32),
+                                     (1, 784, 2, 32)])  # 784 -> 2 q-blocks of 392
 def test_grads_match_xla(B, L, H, D):
     ks = jax.random.split(jax.random.key(1), 3)
     q = jax.random.normal(ks[0], (B, L, H, D))
