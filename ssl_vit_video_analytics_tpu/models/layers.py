@@ -21,6 +21,45 @@ from ..ops.attention import sdpa
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class StemConvS2D(nn.Module):
+    """3x3 / stride-2 conv on a few-channel input via space-to-depth.
+
+    A stride-2 3x3 conv over [B, 2H, 2W, 3] contracts only K = 27 values per
+    output — the MXU runs at ~1/20 of peak and the stem conv measured 20+ ms
+    of a 231 ms step. Space-to-depth ([B,2H,2W,C] -> [B,H,W,4C]) converts it
+    into a stride-1 2x2 conv over 4C channels (K = 16C): identical math via a
+    sparse weight rearrangement, ~8x faster on the MXU. Param tree matches
+    nn.Conv exactly (kernel [3, 3, C, F]) so checkpoints are unaffected.
+
+    Mapping: out[i,j] = sum_{di,dj} x[2i+di-1, 2j+dj-1] w[di,dj]; with
+    x blocked as X[p,q,(a,b,c)] = x[2p+a, 2q+b, c], tap di lands at block
+    p = i + (di-1)//2, offset a = (di-1) % 2 — kernel extent 2 with an
+    asymmetric (1, 0) pad.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, self.features), jnp.float32).astype(self.dtype)
+        w2 = jnp.zeros((2, 2, 4 * C, self.features), self.dtype)
+        for di in range(3):
+            for dj in range(3):
+                kp, a = (di - 1) // 2 + 1, (di - 1) % 2
+                kq, b = (dj - 1) // 2 + 1, (dj - 1) % 2
+                w2 = w2.at[kp, kq, (a * 2 + b) * C:(a * 2 + b + 1) * C, :].set(
+                    w[di, dj])
+        xs = x.astype(self.dtype).reshape(
+            B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(B, H // 2, W // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            xs, w2, (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBNAct(nn.Module):
     """Conv -> BatchNorm -> SiLU (optional)."""
 
@@ -35,11 +74,16 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
-        x = nn.Conv(
-            self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)], feature_group_count=self.groups,
-            use_bias=False, dtype=self.dtype,
-        )(x)
+        if (self.kernel == 3 and self.stride == 2 and self.groups == 1
+                and x.shape[-1] <= 4 and x.shape[-3] % 2 == 0
+                and x.shape[-2] % 2 == 0):
+            x = StemConvS2D(self.features, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)], feature_group_count=self.groups,
+                use_bias=False, dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, scale_init=self.bn_scale_init,

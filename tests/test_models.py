@@ -111,3 +111,39 @@ def test_heads():
     v = jinit(mt, jax.random.key(0), tokens, tokens, mask, pairs, labels)
     out = japply(mt, v, tokens, tokens * 2, mask, pairs, labels)
     assert set(out) == {"loss", "mfm", "order"}
+
+
+def test_stem_conv_s2d_matches_dense_conv():
+    """StemConvS2D (space-to-depth 2x2/K=4C rewrite) == nn.Conv 3x3/s2/SAME
+    on the same [3,3,C,F] kernel: forward and input/weight grads."""
+    import numpy as np
+    from flax import linen as nn
+
+    from ssl_vit_video_analytics_tpu.models.layers import StemConvS2D
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 3)), jnp.float32)
+    mod = StemConvS2D(8)
+    v = mod.init(jax.random.key(0), x)
+    w = v["params"]["kernel"]
+    assert w.shape == (3, 3, 3, 8)
+
+    ref = nn.Conv(8, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                  use_bias=False)
+    out = mod.apply(v, x)
+    ref_out = ref.apply({"params": {"kernel": w}}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(apply_fn):
+        def inner(params, x):
+            return jnp.sum(jnp.sin(apply_fn(params, x)))
+        return inner
+
+    gm = jax.grad(loss(lambda p, x: mod.apply({"params": p}, x)),
+                  argnums=(0, 1))(v["params"], x)
+    gr = jax.grad(loss(lambda p, x: ref.apply({"params": p}, x)),
+                  argnums=(0, 1))({"kernel": w}, x)
+    np.testing.assert_allclose(np.asarray(gm[0]["kernel"]),
+                               np.asarray(gr[0]["kernel"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gm[1]), np.asarray(gr[1]), atol=1e-5)
