@@ -155,6 +155,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l_kv, H, d, G):
             v_exp = _expand_heads(v_ref[g, :, sl], gs, d)
             s_all = jax.lax.dot_general(q, k_exp, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)  # [bq, gs*Lk]
+            # (An explicit two-phase issue-all-S-then-softmax schedule was
+            # measured identical — Mosaic already overlaps groups.)
             ps, invs = [], []
             for j in range(gs):
                 s = s_all[:, j * Lk:(j + 1) * Lk]
