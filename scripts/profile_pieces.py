@@ -103,6 +103,40 @@ def run_full(B, T, S, dtype, rng):
           f"({B / (full / 1000.0):.1f} clips/s)", flush=True)
 
 
+def run_ssla(dtype, rng):
+    """Pipeline-A (SSL teacher-student) step at the reference's headline
+    config: bs=48, T=32, 112^2 (ref logs/train_ssl.log: 144 steps x bs48 in
+    58-70 s => 99-119 clips/s on an RTX-class GPU)."""
+    from ssl_vit_video_analytics_tpu.models.temporal_ssl import TemporalSSL
+    from ssl_vit_video_analytics_tpu.train.ssl_engine import make_ssl_step
+    from ssl_vit_video_analytics_tpu.train.state import create_train_state, make_optimizer
+    B, T, S = 48, 32, 112
+    model = TemporalSSL(embed_dim=256, layers=4, heads=4, clip_len=T, dtype=dtype)
+    clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, clip0, method="init_all"))(
+        jax.random.key(0))
+    tx = make_optimizer(1e-3, weight_decay=0.05, grad_clip=1.0)
+    state = create_train_state(variables["params"], tx,
+                               batch_stats=variables.get("batch_stats"),
+                               ema_params=jax.tree.map(jnp.copy, variables["params"]))
+    ssl_cfg = {"mask_ratio": 0.75, "mfm_weight": 1.0, "var_weight": 25.0,
+               "top_weight": 1.0, "top_subsample": 0.5}
+    step_fn = make_ssl_step(model, tx, ssl_cfg, with_top=True, compute_dtype=dtype)
+    batch = {"clip": jax.device_put(
+        rng.integers(0, 255, (B, T, S, S, 3), dtype=np.uint8))}
+    k = jax.random.key(1)
+    for _ in range(3):
+        state, metrics = step_fn(state, batch, k)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, metrics = step_fn(state, batch, k)
+    float(metrics["loss"])
+    full = (time.perf_counter() - t0) / 10 * 1000.0
+    print(f"{'SSL-A step (bs48, T=32, +TOP)':42s} {full:9.2f} ms  "
+          f"({B / (full / 1000.0):.1f} clips/s; ref GPU 99-119)", flush=True)
+
+
 def run_attn_micro(B, BT, dtype, rng):
     def pallas_case(x, H):
         def f(qq):
@@ -173,6 +207,9 @@ def main():
 
     if want("attn"):
         run_attn_micro(B, BT, dtype, rng)
+
+    if want("ssla"):
+        run_ssla(dtype, rng)
 
     if want("block"):
         from flax import linen as nn

@@ -75,8 +75,16 @@ def _measure_window(rt: dict, ds, batch_size: int) -> tuple[int, int]:
     n_batches = -(-len(ds) // batch_size)
     warm = int(rt.get("num_warmup", 10))
     meas = int(rt.get("num_measure", 50))
+    # every mode also pre-warms the compiled fn on the first batch before its
+    # timed loop, so warm=0 (single-batch val split) still measures honestly
     warm = max(1, min(warm, n_batches - 1)) if n_batches > 1 else 0
     return warm, max(1, meas)
+
+
+def _first_batch(ds, B):
+    """One batch for pre-warming compiled fns outside the timed loops."""
+    return next(iter(common.epoch_batches(
+        ds, B, shuffle=False, seed=0, epoch=0, drop_last=False)))
 
 
 def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
@@ -100,6 +108,9 @@ def run_early_exit(cfg, model, variables, ds, log) -> list[dict]:
         min_frames=int(dyn.get("min_frames", 4)),
         max_frames=dyn.get("max_frames"),
         frame_step=int(dyn.get("frame_step", 1))))
+    wb = _first_batch(ds, B)
+    np.asarray(fn_full(wb["clip"], jnp.float32(
+        float(dyn["confidence_thresholds"][0])))[1].final_conf)  # compile+warm
     rows = []
     for thr in dyn["confidence_thresholds"]:
         logits_all, labels_all, used_all, conf_all = [], [], [], []
@@ -158,6 +169,7 @@ def run_frame_gating(cfg, model, variables, ds, log) -> list[dict]:
             sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
             return model.apply(variables, sel)
         jfn = jax.jit(fn)
+        np.asarray(jfn(_first_batch(ds, B)["clip"], jax.random.key(1)))  # compile+warm
         logits_all, labels_all, times = [], [], []
         key = jax.random.key(0)
         for i, batch in enumerate(common.epoch_batches(
@@ -217,6 +229,8 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
                 max_frames=dyn.get("max_frames"),
                 frame_step=int(dyn.get("frame_step", 1)))
         jfn = jax.jit(fn)
+        np.asarray(jfn(_first_batch(ds, B)["clip"], jax.random.key(1), jnp.float32(
+            float(dyn["confidence_thresholds"][0])))[1].final_conf)  # compile+warm
         for thr in dyn["confidence_thresholds"]:
             logits_all, labels_all, used_all, conf_all, times = [], [], [], [], []
             key = jax.random.key(0)
