@@ -107,7 +107,7 @@ def run_ssla(dtype, rng):
     """Pipeline-A (SSL teacher-student) step at the reference's headline
     config: bs=48, T=32, 112^2 (ref logs/train_ssl.log: 144 steps x bs48 in
     58-70 s => 99-119 clips/s on an RTX-class GPU)."""
-    from ssl_vit_video_analytics_tpu.models.temporal_ssl import TemporalSSL
+    from ssl_vit_video_analytics_tpu.models.temporal import TemporalSSL
     from ssl_vit_video_analytics_tpu.train.ssl_engine import make_ssl_step
     from ssl_vit_video_analytics_tpu.train.state import create_train_state, make_optimizer
     B, T, S = 48, 32, 112
