@@ -130,6 +130,12 @@ def iterate_batches(
     a boolean "valid" mask so eval metrics stay exact.
     """
     n = len(dataset)
+    if drop_last and n < batch_size:
+        # Silently yielding nothing makes "training" a no-op every epoch —
+        # an easy footgun with batch_size > tiny dataset. Loud, not fatal
+        # (the reference's torch DataLoader is silently empty here too).
+        print(f"[WARN] iterate_batches: dataset size {n} < batch_size "
+              f"{batch_size} with drop_last=True -> ZERO batches per epoch")
     order = _epoch_order(n, shuffle, seed, epoch)
     B = batch_size
     for lo in range(0, n, B):
