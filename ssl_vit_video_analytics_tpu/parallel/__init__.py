@@ -1,2 +1,3 @@
 from .mesh import make_mesh, data_sharding, replicated, shard_batch
 from .tp import shard_params_tp, count_sharded, tp_spec_for
+from .sp import sp_attention_packed
