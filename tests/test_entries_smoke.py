@@ -59,3 +59,45 @@ def test_train_ssl_smoke(synth_data, tmp_path):
                              "top_every": 2, "top_subsample": 0.5}
     out = train_ssl.run(cfg, log=lambda *_: None, max_steps=2)
     assert out["steps"] == 2
+
+
+def test_evaluate_entry(synth_data, tmp_path):
+    """entry.evaluate: top-k + latency CSV on the synthetic val split
+    (the reference ships an EMPTY src/evaluate.py; this is the real one)."""
+    from ssl_vit_video_analytics_tpu.entry import evaluate as ev
+    from ssl_vit_video_analytics_tpu.utils.io import read_csv_dicts
+
+    cfg = {
+        "seed": 0,
+        "dataset": {"num_classes": 4, "val_split": synth_data["val"],
+                    "clip_len": 4, "stride": 2, "image_size": 32},
+        "model": {"embed_dim": 32},
+        "training": {"batch_size": 4},
+        "device": {"compute_dtype": "float32"},
+        "paths": {"result_dir": str(tmp_path)},
+    }
+    out = ev.run(cfg, ckpt=None, split=None, log=lambda *_: None,
+                 measure_latency=True)
+    rows = read_csv_dicts(out["csv"])
+    assert len(rows) == 1
+    assert 0.0 <= float(rows[0]["top1"]) <= float(rows[0]["top5"]) <= 1.0
+    assert float(rows[0]["p50_batch_latency_ms"]) > 0
+
+
+def test_ablations_dry_run(tmp_path, monkeypatch, capsys):
+    """entry.ablations --dry_run: all four grids emit --set override
+    commands (never rewriting configs) and write ablation_index.json."""
+    import json
+    import sys
+
+    from ssl_vit_video_analytics_tpu.entry import ablations
+
+    monkeypatch.setattr(sys, "argv", [
+        "ablations", "--dry_run", "--out_dir", str(tmp_path)])
+    ablations.main()
+    out = capsys.readouterr().out
+    assert "--set dataset.clip_len=16" in out
+    index = json.load(open(tmp_path / "ablation_index.json"))
+    groups = {e["group"] for e in index}
+    assert groups == {"sampling", "ssl_objective", "privacy", "dynamic"}
+    assert all(e["exit"] == 0 for e in index)
