@@ -137,6 +137,45 @@ def run_ssla(dtype, rng):
           f"({B / (full / 1000.0):.1f} clips/s; ref GPU 99-119)", flush=True)
 
 
+def run_pipec(dtype, rng):
+    """Pipeline-C (feature-token MAE) step at the production config:
+    bs=256, T=32, 112^2, stage4_pool 3 (9 tokens/frame), tube mask."""
+    from ssl_vit_video_analytics_tpu.entry.train_mae import build_model
+    from ssl_vit_video_analytics_tpu.train.mae_engine import make_token_mae_step
+    from ssl_vit_video_analytics_tpu.train.state import create_train_state, make_optimizer
+    from ssl_vit_video_analytics_tpu.utils.config import load_config
+    cfg = load_config("configs/mae_train.yaml", base="configs/base.yaml")
+    cfg.setdefault("model", {})["use_checkpoint"] = True  # production remat; no-remat OOMs at BT=2048
+    B, T, S = 32, 32, 112   # production bs 256 runs as accum microbatches; clips/s
+    # is the metric, not bs parity (grad_accum does not change FLOPs/clip)
+    model = build_model(cfg, dtype)
+    tokens_per_frame = int(cfg["mae"].get("stage4_pool", 3)) ** 2
+    clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
+    N = T * tokens_per_frame
+    variables = jax.jit(lambda k: model.init(
+        k, clip0, jnp.zeros((B, N), bool)))(jax.random.key(0))
+    tx = make_optimizer(3e-4, weight_decay=0.05, grad_clip=1.0)
+    state = create_train_state(variables["params"], tx,
+                               batch_stats=variables.get("batch_stats"))
+    step_fn = make_token_mae_step(model, tx, tokens_per_frame,
+                                  mask_mode="tube", loss_type="l2",
+                                  normalize_target=True, compute_dtype=dtype)
+    batch = {"clip": jax.device_put(
+        rng.integers(0, 255, (B, T, S, S, 3), dtype=np.uint8))}
+    k = jax.random.key(1)
+    mr = jnp.float32(0.8)
+    for _ in range(3):
+        state, metrics = step_fn(state, batch, k, mr)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, metrics = step_fn(state, batch, k, mr)
+    float(metrics["loss"])
+    full = (time.perf_counter() - t0) / 10 * 1000.0
+    print(f"{'pipeline-C step (bs32, T=32)':42s} {full:9.2f} ms  "
+          f"({B / (full / 1000.0):.1f} clips/s)", flush=True)
+
+
 def run_attn_micro(B, BT, dtype, rng):
     def pallas_case(x, H):
         def f(qq):
@@ -210,6 +249,9 @@ def main():
 
     if want("ssla"):
         run_ssla(dtype, rng)
+
+    if want("pipec"):
+        run_pipec(dtype, rng)
 
     if want("block"):
         from flax import linen as nn
