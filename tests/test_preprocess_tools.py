@@ -81,3 +81,20 @@ def test_full_preprocess_pipeline(video_tree, tmp_path):
                           image_size=32, verbose=False)
     clip = ds.get_clip(0)
     assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.uint8
+
+
+def test_video_backend_reads_avi_directly(video_tree, tmp_path):
+    """backend="video" (VideoFileStore, ref lazy_video_dataset.py): clips
+    decode straight from the .avi files, no frame extraction step."""
+    from ssl_vit_video_analytics_tpu.data.loader import ClipDataset
+    from ssl_vit_video_analytics_tpu.data.splits import write_split
+
+    vids = sorted(str(p) for p in video_tree.rglob("*.avi"))
+    split = tmp_path / "video_split.txt"
+    write_split([(v, i % 2) for i, v in enumerate(vids)], str(split))
+
+    ds = ClipDataset(str(split), mode="supervised", clip_len=4, stride=2,
+                     image_size=32, backend="video", verbose=False)
+    clip = ds.get_clip(0)
+    assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.uint8
+    assert clip.max() > 0  # actually decoded content, not zero padding
