@@ -1,0 +1,159 @@
+"""Import a reference (PyTorch) VideoClassifier checkpoint into this framework.
+
+A user of the reference repo (lzc452/SSL-VIT-VIDEO-ANALYTICS) switching to
+this framework brings finetuned ``.pth`` state_dicts of its
+MobileViT-S VideoClassifier (ref: src/train_finetune.py:19-40,
+src/models/mobilevit.py:118-172). This tool maps them key-for-key onto this
+repo's flax ``VideoClassifier`` tree ({params, batch_stats}) so dynamic
+inference, privacy evaluation and federated runs can consume reference
+checkpoints directly via ``model.finetune_ckpt``.
+
+Layout rules:
+  Conv2d  weight [O, I/g, kh, kw] -> kernel [kh, kw, I/g, O]
+  Linear  weight [O, I]           -> kernel [I, O]
+  BatchNorm2d weight/bias          -> scale/bias (params)
+              running_mean/var     -> mean/var  (batch_stats)
+  nn.MultiheadAttention in_proj_weight [3D, D] -> fused qkv kernel [D, 3D]
+  (torch packs q;k;v rows, this repo's fused qkv Dense packs q|k|v output
+  columns with the SAME per-head lane order, so a plain transpose is exact)
+
+Module-name map (torch -> flax scope), 1:1 by construction:
+  backbone.stem            -> backbone/stem
+  backbone.s{1,2}.{0,1}    -> backbone/s{1,2}_{0,1}
+  backbone.mvit{k}.0       -> backbone/mvit{k}_ir
+  backbone.mvit{k}.1       -> backbone/mvit{k}
+  backbone.head.0          -> backbone/head
+  classifier               -> head
+Inside blocks: ConvBNAct(conv, bn) -> (Conv_0, BatchNorm_0);
+InvertedResidual(pw1, dw, pw2) -> ConvBNAct_{0,1,2}; MobileViTBlock(local1,
+local2, transformer.i, proj, fuse) -> (ConvBNAct_0, ConvBNAct_1, tblock{i},
+ConvBNAct_2, ConvBNAct_3); TransformerBlock(norm1, attn, norm2, mlp.0,
+mlp.3) -> (LayerNorm_0, MultiHeadAttention_0 qkv/proj, LayerNorm_1,
+Mlp_0/Dense_{0,1}).
+
+Known numeric nuance: the reference's GELUs are exact (erf); flax nn.gelu
+defaults to the tanh approximation — outputs agree to ~1e-3, which does not
+move argmax classifications (the parity test checks cosine > 0.999).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _put(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _conv(sd, params, tkey: str, fpath: tuple[str, ...]) -> None:
+    _put(params, fpath + ("kernel",), sd[tkey + ".weight"].transpose(2, 3, 1, 0))
+    if tkey + ".bias" in sd:
+        _put(params, fpath + ("bias",), sd[tkey + ".bias"])
+
+
+def _bn(sd, params, stats, tkey: str, fpath: tuple[str, ...]) -> None:
+    _put(params, fpath + ("scale",), sd[tkey + ".weight"])
+    _put(params, fpath + ("bias",), sd[tkey + ".bias"])
+    _put(stats, fpath + ("mean",), sd[tkey + ".running_mean"])
+    _put(stats, fpath + ("var",), sd[tkey + ".running_var"])
+
+
+def _convbnact(sd, params, stats, tpre: str, fpre: tuple[str, ...]) -> None:
+    _conv(sd, params, tpre + ".conv", fpre + ("Conv_0",))
+    _bn(sd, params, stats, tpre + ".bn", fpre + ("BatchNorm_0",))
+
+
+def _ir(sd, params, stats, tpre: str, fpre: tuple[str, ...]) -> None:
+    for t, f in (("pw1", "ConvBNAct_0"), ("dw", "ConvBNAct_1"),
+                 ("pw2", "ConvBNAct_2")):
+        _convbnact(sd, params, stats, f"{tpre}.{t}", fpre + (f,))
+
+
+def _ln(sd, params, tpre: str, fpre: tuple[str, ...]) -> None:
+    _put(params, fpre + ("scale",), sd[tpre + ".weight"])
+    _put(params, fpre + ("bias",), sd[tpre + ".bias"])
+
+
+def _linear(sd, params, tpre: str, fpre: tuple[str, ...]) -> None:
+    _put(params, fpre + ("kernel",), sd[tpre + ".weight"].T)
+    if tpre + ".bias" in sd:
+        _put(params, fpre + ("bias",), sd[tpre + ".bias"])
+
+
+def _tblock(sd, params, tpre: str, fpre: tuple[str, ...]) -> None:
+    _ln(sd, params, tpre + ".norm1", fpre + ("LayerNorm_0",))
+    att = fpre + ("MultiHeadAttention_0",)
+    _put(params, att + ("qkv", "kernel"), sd[tpre + ".attn.in_proj_weight"].T)
+    _put(params, att + ("qkv", "bias"), sd[tpre + ".attn.in_proj_bias"])
+    _linear(sd, params, tpre + ".attn.out_proj", att + ("proj",))
+    _ln(sd, params, tpre + ".norm2", fpre + ("LayerNorm_1",))
+    _linear(sd, params, tpre + ".mlp.0", fpre + ("Mlp_0", "Dense_0"))
+    _linear(sd, params, tpre + ".mlp.3", fpre + ("Mlp_0", "Dense_1"))
+
+
+def _mvit_block(sd, params, stats, tpre: str, fpre: tuple[str, ...],
+                depth: int = 2) -> None:
+    _convbnact(sd, params, stats, tpre + ".local1", fpre + ("ConvBNAct_0",))
+    _convbnact(sd, params, stats, tpre + ".local2", fpre + ("ConvBNAct_1",))
+    for i in range(depth):
+        _tblock(sd, params, f"{tpre}.transformer.{i}", fpre + (f"tblock{i}",))
+    _convbnact(sd, params, stats, tpre + ".proj", fpre + ("ConvBNAct_2",))
+    _convbnact(sd, params, stats, tpre + ".fuse", fpre + ("ConvBNAct_3",))
+
+
+def convert_classifier_state_dict(sd: dict) -> dict:
+    """Reference VideoClassifier state_dict (numpy-valued) ->
+    {"params": ..., "batch_stats": ...} for this repo's VideoClassifier."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+    bb = ("backbone",)
+    _convbnact(sd, params, stats, "backbone.stem", bb + ("stem",))
+    for s in (1, 2):
+        for j in (0, 1):
+            _ir(sd, params, stats, f"backbone.s{s}.{j}", bb + (f"s{s}_{j}",))
+    for k in (1, 2, 3):
+        _ir(sd, params, stats, f"backbone.mvit{k}.0", bb + (f"mvit{k}_ir",))
+        _mvit_block(sd, params, stats, f"backbone.mvit{k}.1", bb + (f"mvit{k}",))
+    _convbnact(sd, params, stats, "backbone.head.0", bb + ("head",))
+    _linear(sd, params, "classifier", ("head",))
+    return {"params": params, "batch_stats": stats}
+
+
+def main():
+    p = argparse.ArgumentParser(
+        description="Convert a reference torch VideoClassifier .pth to an "
+                    "orbax checkpoint consumable by model.finetune_ckpt")
+    p.add_argument("--torch_ckpt", required=True)
+    p.add_argument("--out", required=True, help="output checkpoint dir")
+    args = p.parse_args()
+
+    import torch
+
+    from ssl_vit_video_analytics_tpu.utils.checkpoint import save_checkpoint
+    import os
+
+    blob = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
+    sd = blob.get("model", blob.get("state_dict", blob))
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    variables = convert_classifier_state_dict(sd)
+    out_dir, name = os.path.split(args.out.rstrip("/"))
+    path = save_checkpoint(out_dir or ".", name, variables)
+    print(f"[INFO] wrote {path} "
+          f"({sum(np.asarray(x).size for x in _leaves(variables['params']))} params)")
+
+
+def _leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _leaves(v)
+        else:
+            yield v
+
+
+if __name__ == "__main__":
+    main()
