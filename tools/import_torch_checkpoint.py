@@ -124,6 +124,69 @@ def convert_classifier_state_dict(sd: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------- TinyViT
+
+def _conv2dbn(sd, params, stats, tpre: str, fpre: tuple[str, ...]) -> None:
+    """Reference Conv2d_BN (ref: src/models/tiny_vit.py:12-18): .c + .bn."""
+    _conv(sd, params, tpre + ".c", fpre + ("Conv_0",))
+    _bn(sd, params, stats, tpre + ".bn", fpre + ("BatchNorm_0",))
+
+
+def _tv_mbconv(sd, params, stats, tpre: str, fpre: tuple[str, ...]) -> None:
+    """Reference MBConv.conv Sequential indices (ref tiny_vit.py:36-52):
+    0 expand Conv2d_BN, 2 depthwise Conv2d_BN, 4 SELayer(fc.0, fc.2),
+    5 project Conv2d_BN -> ConvBNAct_{0,1,2} + SELayer_0/Dense_{0,1}."""
+    _conv2dbn(sd, params, stats, tpre + ".conv.0", fpre + ("ConvBNAct_0",))
+    _conv2dbn(sd, params, stats, tpre + ".conv.2", fpre + ("ConvBNAct_1",))
+    _linear(sd, params, tpre + ".conv.4.fc.0", fpre + ("SELayer_0", "Dense_0"))
+    _linear(sd, params, tpre + ".conv.4.fc.2", fpre + ("SELayer_0", "Dense_1"))
+    _conv2dbn(sd, params, stats, tpre + ".conv.5", fpre + ("ConvBNAct_2",))
+
+
+def _tv_tblock(sd, params, tpre: str, fpre: tuple[str, ...]) -> None:
+    """Reference TinyViTBlock (ref tiny_vit.py:108-131): norm1/attn(qkv,
+    proj)/norm2/mlp(fc1, fc2). The separate-qkv Linear packs rows
+    (c, head, kd) exactly like this repo's fused qkv Dense packs columns, so
+    a transpose is exact."""
+    _ln(sd, params, tpre + ".norm1", fpre + ("LayerNorm_0",))
+    att = fpre + ("MultiHeadAttention_0",)
+    _linear(sd, params, tpre + ".attn.qkv", att + ("qkv",))
+    _linear(sd, params, tpre + ".attn.proj", att + ("proj",))
+    _ln(sd, params, tpre + ".norm2", fpre + ("LayerNorm_1",))
+    _linear(sd, params, tpre + ".mlp.fc1", fpre + ("Mlp_0", "Dense_0"))
+    _linear(sd, params, tpre + ".mlp.fc2", fpre + ("Mlp_0", "Dense_1"))
+
+
+def convert_tinyvit_state_dict(sd: dict, prefix: str = "",
+                               depths=(2, 2, 6, 2)) -> dict:
+    """Reference TinyViT state_dict (ref: src/models/tiny_vit.py:135-191) ->
+    this repo's TinyViT variables. ``prefix`` strips a wrapper scope (e.g.
+    "encoder." for MAE checkpoints)."""
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+          if k.startswith(prefix)}
+    params: dict = {}
+    stats: dict = {}
+    _conv2dbn(sd, params, stats, "patch_embed.patch_embed.0",
+              ("patch_embed", "ConvBNAct_0"))
+    _conv2dbn(sd, params, stats, "patch_embed.patch_embed.2",
+              ("patch_embed", "ConvBNAct_1"))
+    for i, depth in enumerate(depths):
+        stage = (f"stage{i}",)
+        off = 0
+        if i > 0:
+            if f"stages.{i}.0.conv.0.c.weight" not in sd:
+                break  # checkpoint saved from forward_stage3-only training
+            _tv_mbconv(sd, params, stats, f"stages.{i}.0", stage + ("down",))
+            off = 1
+        for j in range(depth):
+            tpre = f"stages.{i}.{off + j}"
+            if i == 0:
+                _tv_mbconv(sd, params, stats, tpre, stage + (f"mbconv{j}",))
+            else:
+                _tv_tblock(sd, params, tpre, stage + (f"tblock{j}",))
+    return {"params": params, "batch_stats": stats}
+
+
 def main():
     p = argparse.ArgumentParser(
         description="Convert a reference torch VideoClassifier .pth to an "
