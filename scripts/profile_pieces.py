@@ -5,7 +5,7 @@ sum-reduction, train-mode batch stats mutable) so BENCH.md's where-the-time-
 goes table stays honest.
 
 Run: `python scripts/profile_pieces.py [B] [piece,piece,...]`
-pieces: full patch stage1 stage2 stage3 decoder attn matmul (default: all)
+pieces: full patch stage1 stage2 stage3 decoder attn block mbconv ssla pipec matmul (default: all)
 
 Sync note: float(x) per window — block_until_ready does not sync through the
 axon tunnel (CLAUDE.md).
