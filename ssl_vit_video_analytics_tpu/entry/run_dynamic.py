@@ -82,8 +82,13 @@ def _measure_window(rt: dict, ds, batch_size: int) -> tuple[int, int]:
 
 
 def _first_batch(ds, B):
-    """One batch for pre-warming compiled fns outside the timed loops."""
-    return next(iter(common.epoch_batches(
+    """One batch for pre-warming compiled fns outside the timed loops.
+
+    Uses iterate_batches directly (NOT the prefetcher): abandoning a
+    prefetch generator would strand its producer thread on a full queue.
+    """
+    from ..data.loader import iterate_batches
+    return next(iter(iterate_batches(
         ds, B, shuffle=False, seed=0, epoch=0, drop_last=False)))
 
 
