@@ -195,10 +195,13 @@ def main():
     p.add_argument("--out", required=True, help="output checkpoint dir")
     args = p.parse_args()
 
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import torch
 
     from ssl_vit_video_analytics_tpu.utils.checkpoint import save_checkpoint
-    import os
 
     blob = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = blob.get("model", blob.get("state_dict", blob))
