@@ -83,12 +83,8 @@ def main():
 
     clips_per_sec = measure * B / dt
 
-    # MFU: analytic train-step FLOPs / (elapsed * bf16 peak). Encoder ~8.8
-    # GF/frame fwd (TinyViT-21M stages 0-3 @112^2) + decoder ~106 GF/clip fwd
-    # (4L x 3136 tok x 384d incl. embed/head), x3 for fwd+bwd.
-    V5E_PEAK_BF16 = 197e12
-    flops_per_clip = 3.0 * (8.8e9 * T + 106e9) * (S / 112.0) ** 2
-    mfu = clips_per_sec * flops_per_clip / V5E_PEAK_BF16 if on_tpu else 0.0
+    from ssl_vit_video_analytics_tpu.utils.metrics import pipeline_b_mfu
+    mfu = pipeline_b_mfu(clips_per_sec, T, S) if on_tpu else 0.0
     print(json.dumps({
         "metric": "mae_pretrain_throughput",
         "value": round(clips_per_sec, 2),

@@ -20,6 +20,7 @@ from ..train.mae_engine import make_pixel_mae_step, wrap_accum_and_skip
 from ..train.state import create_train_state, make_optimizer, warmup_cosine_schedule
 from ..utils.checkpoint import save_checkpoint
 from ..utils.io import ensure_dir
+from ..utils.metrics import pipeline_b_mfu
 from ..utils.prng import set_seed
 from . import common
 
@@ -140,12 +141,14 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
                 dt = time.perf_counter() - t_ep
                 ips = seen / max(dt, 1e-9)
                 eta = (steps_per_epoch - step) * (dt / step)
+                mfu = pipeline_b_mfu(ips, T, S) if jax.default_backend() == "tpu" else 0.0
                 log(f"[INFO] ep={epoch} step={step}/{steps_per_epoch} "
                     f"loss={last_loss:.4f} pred_std={float(metrics['pred_std']):.4f} "
-                    f"clips/s={ips:.1f} eta={eta:.0f}s")
+                    f"clips/s={ips:.1f} mfu={mfu:.3f} eta={eta:.0f}s")
                 if tb is not None:
                     tb.add_scalar("Train/Loss", last_loss, global_step)
                     tb.add_scalar("Train/Throughput", ips, global_step)
+                    tb.add_scalar("Train/MFU", mfu, global_step)
                 if float(metrics["collapse"]) > 0:
                     log("[WARN:pred_std_low] possible representation collapse")
             if max_steps is not None and global_step >= max_steps:

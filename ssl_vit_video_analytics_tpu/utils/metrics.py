@@ -69,3 +69,22 @@ def minmax_norm(values: Sequence[float]) -> list[float]:
     if hi - lo < 1e-12:
         return [0.0 for _ in vals]
     return [(v - lo) / (hi - lo) for v in vals]
+
+
+# --- throughput accounting (shared by bench.py and training logs) ---
+
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def pipeline_b_flops_per_clip(clip_len: int, image_size: int = 112) -> float:
+    """Analytic train-step FLOPs/clip for pipeline B: TinyViT stages 0-3
+    ~8.8 GF/frame fwd @112^2 + 3136-token decoder ~106 GF/clip fwd, x3 for
+    fwd+bwd."""
+    return 3.0 * (8.8e9 * clip_len + 106e9) * (image_size / 112.0) ** 2
+
+
+def pipeline_b_mfu(clips_per_sec: float, clip_len: int,
+                   image_size: int = 112) -> float:
+    """Model FLOPs utilization of the pipeline-B train step on one v5e."""
+    return (clips_per_sec * pipeline_b_flops_per_clip(clip_len, image_size)
+            / V5E_PEAK_BF16_FLOPS)
