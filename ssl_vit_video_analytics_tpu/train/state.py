@@ -42,11 +42,14 @@ def warmup_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
     builds by hand, e.g. ref: src/mae/train_mae.py:53-69, src/lr_decay.py:3-25)."""
     if warmup_steps >= total_steps:
         warmup_steps = max(total_steps - 1, 0)
+    warmup_steps = max(warmup_steps, 1)
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0 if warmup_steps > 0 else base_lr,
         peak_value=base_lr,
-        warmup_steps=max(warmup_steps, 1),
-        decay_steps=total_steps,
+        warmup_steps=warmup_steps,
+        # optax needs a strictly positive cosine span; tiny smoke runs
+        # (total steps <= warmup) were crashing with decay_steps=0
+        decay_steps=max(total_steps, warmup_steps + 1),
         end_value=min_lr,
     )
 

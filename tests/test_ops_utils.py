@@ -158,3 +158,17 @@ def test_yunet_real_detector_weights_gated():
     assert n_faces == 0
     assert out.shape == img.shape and out.dtype == img.dtype
     np.testing.assert_array_equal(out, img)
+
+
+def test_warmup_cosine_schedule_tiny_total_steps():
+    """total_steps <= warmup_steps (tiny smoke runs) must not crash optax
+    (regression: decay_steps=0 ValueError) and must produce finite LRs."""
+    import jax.numpy as jnp
+
+    from ssl_vit_video_analytics_tpu.train.state import warmup_cosine_schedule
+
+    for total in (1, 2, 5):
+        sch = warmup_cosine_schedule(1e-3, warmup_steps=40, total_steps=total)
+        vals = [float(sch(i)) for i in range(total + 2)]
+        assert all(jnp.isfinite(v) for v in vals)
+        assert max(vals) <= 1e-3 + 1e-9
