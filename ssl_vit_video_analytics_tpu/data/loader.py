@@ -171,7 +171,12 @@ def prefetch_to_device(it: Iterator[dict], size: int = 2, sharding=None) -> Iter
     def producer():
         try:
             for batch in it:
-                if sharding is not None:
+                if isinstance(sharding, dict):
+                    # per-key shardings (e.g. sequence-parallel: clip sharded
+                    # over T, scalar masks replicated); None key = default
+                    batch = {k: jax.device_put(v, sharding.get(k, sharding.get(None)))
+                             for k, v in batch.items()}
+                elif sharding is not None:
                     batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
                 else:
                     batch = jax.tree.map(jax.device_put, batch)

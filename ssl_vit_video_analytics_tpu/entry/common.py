@@ -104,6 +104,77 @@ def setup_data_parallel(cfg: dict, batch_size: int, log=print):
     return mesh, dsh, place_state
 
 
+def setup_parallelism(cfg: dict, batch_size: int, log=print):
+    """Full parallel runtime for the pipeline-B/C training entries.
+
+    User-reachable config knobs (SURVEY §5.7/§5.8):
+      device.data_parallel:    auto (default) | false | N — batch over "data"
+      device.model_parallel:   N — Megatron TP (parallel/tp.py) on a
+                               dp x tp mesh; params AND optimizer moments
+                               sharded column/row-parallel, XLA inserts the
+                               all-reduces. Attention falls back to the XLA
+                               einsum path (GSPMD partitions einsums; a
+                               pallas_call cannot be partitioned).
+      model.sequence_parallel: true — decoder attention sharded over a "seq"
+                               axis (parallel/sp.py): clip sharded over T,
+                               K/V all-gathered over ICI. The long-clip
+                               regime; exclusive with model_parallel.
+
+    Returns (mesh, batch_sharding, place_state, sp_on).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import make_mesh
+
+    dev_cfg = cfg.get("device", {})
+    n_dev = jax.device_count()
+    sp_on = bool(cfg.get("model", {}).get("sequence_parallel", False)
+                 or dev_cfg.get("sequence_parallel", False))
+    tp = int(dev_cfg.get("model_parallel", 1) or 1)
+
+    if sp_on:
+        from ..ops import attention as attn_mod
+        if n_dev == 1:
+            log("[WARN] sequence_parallel requested on 1 device; attention "
+                "falls back to the single-device kernel")
+            attn_mod.set_sp_mesh(None)
+            return None, None, (lambda s: s), True
+        mesh = make_mesh({"seq": n_dev})
+        attn_mod.set_sp_mesh(mesh, "seq")
+        repl = NamedSharding(mesh, P())
+        # clip sharded over T: the encoder's folded B*T frame batch and the
+        # decoder's T*L token sequence inherit the shard; scalars replicate
+        batch_sharding = {"clip": NamedSharding(mesh, P(None, "seq")), None: repl}
+        log(f"[INFO] sequence-parallel over {n_dev} devices: {mesh}")
+        return mesh, batch_sharding, (lambda s: jax.device_put(s, repl)), True
+
+    if tp > 1 and n_dev > 1:
+        from ..ops.attention import set_default_impl
+        from ..parallel.tp import count_sharded, shard_state_tp
+
+        tp = min(tp, n_dev)
+        while tp > 1 and n_dev % tp != 0:
+            tp -= 1
+        dp = n_dev // tp
+        while dp > 1 and batch_size % dp != 0:
+            dp -= 1
+        mesh = make_mesh({"data": dp, "model": tp},
+                         devices=jax.devices()[: dp * tp])
+        set_default_impl("xla")  # GSPMD-partitionable attention under TP
+        dsh = NamedSharding(mesh, P("data"))
+        log(f"[INFO] dp{dp} x tp{tp} mesh: {mesh} (attention impl -> xla)")
+
+        def place_state(state):
+            placed = shard_state_tp(state, mesh)
+            n_sh, n_tot = count_sharded(state.params, mesh)
+            log(f"[INFO] TP: {n_sh}/{n_tot} param leaves sharded over 'model'")
+            return placed
+
+        return mesh, dsh, place_state, False
+
+    mesh, dsh, place_state = setup_data_parallel(cfg, batch_size, log)
+    return mesh, dsh, place_state, False
+
+
 def make_logger(cfg: dict, name: str) -> Logger:
     log_dir = cfg.get("paths", {}).get("log_dir", "logs")
     ensure_dir(log_dir)

@@ -167,6 +167,7 @@ def run_frame_gating(cfg, model, variables, ds, log) -> list[dict]:
     score = str(dyn.get("gating_score", "motion"))
 
     rows = []
+    wb = _first_batch(ds, B)  # fetched once; reused for every k's warm call
     for k in dyn["gating_topk_list"]:
         k_eff = min(int(k), ds.clip_len)  # ref: src/run_dynamic.py:191
         def fn(raw, key, k=k_eff):
@@ -174,7 +175,7 @@ def run_frame_gating(cfg, model, variables, ds, log) -> list[dict]:
             sel, _ = select_topk_frames(clip, k, score_type=score, key=key)
             return model.apply(variables, sel)
         jfn = jax.jit(fn)
-        np.asarray(jfn(_first_batch(ds, B)["clip"], jax.random.key(1)))  # compile+warm
+        np.asarray(jfn(wb["clip"], jax.random.key(1)))  # compile+warm
         logits_all, labels_all, times = [], [], []
         key = jax.random.key(0)
         for i, batch in enumerate(common.epoch_batches(
@@ -221,6 +222,7 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
 
     import jax.numpy as jnp
     rows = []
+    wb = _first_batch(ds, B)  # fetched once; reused for every k's warm call
     for k in dyn["gating_topk_list"]:
         k_eff = min(int(k), ds.clip_len)  # ref: src/run_dynamic.py:274
         # k changes the gathered clip shape (one compile per k); the
@@ -234,7 +236,7 @@ def run_hybrid(cfg, model, variables, ds, log) -> list[dict]:
                 max_frames=dyn.get("max_frames"),
                 frame_step=int(dyn.get("frame_step", 1)))
         jfn = jax.jit(fn)
-        np.asarray(jfn(_first_batch(ds, B)["clip"], jax.random.key(1), jnp.float32(
+        np.asarray(jfn(wb["clip"], jax.random.key(1), jnp.float32(
             float(dyn["confidence_thresholds"][0])))[1].final_conf)  # compile+warm
         for thr in dyn["confidence_thresholds"]:
             logits_all, labels_all, used_all, conf_all, times = [], [], [], [], []

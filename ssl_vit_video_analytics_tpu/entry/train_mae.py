@@ -30,7 +30,7 @@ from ..utils.prng import set_seed
 from . import common
 
 
-def build_model(cfg: dict, dtype) -> TinyViTMAE:
+def build_model(cfg: dict, dtype, decoder_attn_impl: str | None = None) -> TinyViTMAE:
     mae = cfg["mae"]
     dec = mae.get("decoder", {})
     encoder = tiny_vit_21m_variant(use_checkpoint=bool(cfg.get("model", {}).get(
@@ -43,6 +43,7 @@ def build_model(cfg: dict, dtype) -> TinyViTMAE:
         decoder_num_heads=int(dec.get("num_heads", 8)),
         mlp_ratio=float(dec.get("mlp_ratio", 4.0)),
         dtype=dtype,
+        attn_impl=decoder_attn_impl,
     )
 
 
@@ -66,7 +67,10 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
     cfg_hash = save_config(cfg, os.path.join(out_dir, "config.json"))
     log(f"[INFO] train_mae: cfg_hash={cfg_hash} dtype={dtype.__name__}")
 
-    model = build_model(cfg, dtype)
+    # Parallel runtime BEFORE model build: sequence_parallel selects the
+    # decoder's "sp" attention impl (same knobs as train_ssl_mae).
+    mesh, batch_sharding, place_state, sp_on = common.setup_parallelism(cfg, B, log)
+    model = build_model(cfg, dtype, decoder_attn_impl="sp" if sp_on else None)
     clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
     mask0 = jnp.zeros((B, T * P), bool)
     # step RNG is fold_in(base, global_step) — NOT a sequentially split
@@ -129,6 +133,9 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
             best = blob.get("best")
             log(f"[INFO] resumed from {latest} at epoch {start_epoch}")
 
+    # Placement after resume so the restored state is placed/sharded too.
+    state = place_state(state)
+
     log_interval = int(tr.get("log_interval", 20))
     save_every = int(tr.get("save_every", 5))
     keep_last = int(tr.get("keep_last", 5))
@@ -144,7 +151,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
         metrics = None
         epoch_metrics: dict = {}
         for step, batch in enumerate(
-                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch), 1):
+                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch,
+                                     sharding=batch_sharding), 1):
             data_t += time.perf_counter() - t_last
             k = jax.random.fold_in(step_key_base, global_step)
             state, metrics = step_fn(state, batch, k, jnp.float32(ratio))

@@ -62,6 +62,11 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     state = create_train_state(
         variables["params"], tx, batch_stats=variables.get("batch_stats"),
         ema_params=jax.tree.map(jnp.copy, variables["params"]))  # EMA teacher init = student
+    # Multi-chip dp: batch sharded over the data axis, params (incl. EMA)
+    # replicated; XLA all-reduces the grads, the EMA update stays local math
+    # on replicated trees (same pattern as train_ssl_mae.py).
+    mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
+    state = place_state(state)
 
     # Two compiled variants: with and without the TOP objective (the
     # reference gates TOP by epoch and step, ref: src/train_ssl.py:185,224).
@@ -81,7 +86,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         top_enabled = epoch >= top_start
         t_ep = time.perf_counter()
         for step, batch in enumerate(
-                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch), 1):
+                common.epoch_batches(ds, B, shuffle=True, seed=seed, epoch=epoch,
+                                     sharding=batch_sharding), 1):
             step_key, k = jax.random.split(step_key)
             use_top = top_enabled and (step % top_every == 0)
             state, metrics = (step_top if use_top else step_plain)(state, batch, k)

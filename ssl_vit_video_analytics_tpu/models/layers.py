@@ -215,7 +215,19 @@ class MultiHeadAttention(nn.Module):
         out_dim = self.out_dim or D
         HD = self.num_heads * kd
         qkv = nn.Dense(3 * HD, dtype=self.dtype, name="qkv")(x)
-        if resolve_impl(self.attn_impl, L) == "pallas":
+        impl = resolve_impl(self.attn_impl, L)
+        if impl == "sp":
+            # sequence parallel: queries sharded over the registered seq
+            # mesh, K/V all-gathered over ICI, packed kernel per shard
+            # (parallel/sp.py) — the user-reachable long-clip path
+            # (model.sequence_parallel: true)
+            from ..ops.attention import get_sp_mesh
+            from ..parallel.sp import sp_attention_packed
+            mesh, axis = get_sp_mesh()
+            o = sp_attention_packed(
+                qkv[..., :HD], qkv[..., HD:2 * HD], qkv[..., 2 * HD:],
+                self.num_heads, mesh, axis)
+        elif impl == "pallas":
             # packed-head path: thirds of the fused qkv output are contiguous
             # [B, L, H*kd] slices — no head-split reshape, no transposes, no
             # 4x lane padding (see ops/flash_attention.py docstring)

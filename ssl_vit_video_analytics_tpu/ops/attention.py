@@ -22,11 +22,27 @@ import jax.numpy as jnp
 
 _DEFAULT_IMPL: str | None = None  # None -> auto: pallas on TPU, xla elsewhere
 
+# Sequence-parallel runtime: a mesh registered by the training entry point
+# (entry/common.setup_parallelism) that modules built with attn_impl="sp"
+# shard their attention sequence over (parallel/sp.py).
+_SP_MESH = None
+_SP_AXIS = "seq"
+
 
 def set_default_impl(impl: str | None) -> None:
     global _DEFAULT_IMPL
     assert impl in ("xla", "pallas", None)
     _DEFAULT_IMPL = impl
+
+
+def set_sp_mesh(mesh, axis: str = "seq") -> None:
+    """Register (or clear, with None) the sequence-parallel mesh."""
+    global _SP_MESH, _SP_AXIS
+    _SP_MESH, _SP_AXIS = mesh, axis
+
+
+def get_sp_mesh():
+    return _SP_MESH, _SP_AXIS
 
 
 def resolve_impl(impl: str | None, kv_len: int) -> str:
@@ -37,6 +53,11 @@ def resolve_impl(impl: str | None, kv_len: int) -> str:
     CPU (interpret-mode pallas is only for tests).
     """
     impl = impl or _DEFAULT_IMPL
+    if impl == "sp":
+        # degrade to auto when no SP mesh is registered (single device) or
+        # the sequence does not divide over the mesh axis
+        if _SP_MESH is None or kv_len % _SP_MESH.shape[_SP_AXIS] != 0:
+            impl = None
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return impl

@@ -60,6 +60,38 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def _key_name(k) -> str:
+    return str(getattr(k, "key", getattr(k, "name", k)))
+
+
+def shard_state_tp(state, mesh: Mesh, axis: str = "model"):
+    """Shard a whole TrainState (params, opt_state moments, batch_stats, EMA)
+    under the TP rules on a dp x tp mesh.
+
+    Works on any pytree whose leaf paths end in the param path: optax's
+    Adam mu/nu subtrees mirror the params tree, so the same substring rules
+    place each moment exactly like its param; everything unmatched (conv
+    backbone, BN stats, scalars) replicates. This is what makes TP
+    user-reachable from a training entry (the optimizer state MUST be sharded
+    like the params or every update pays a full all-gather).
+    """
+    axis_size = mesh.shape[axis]
+
+    def place(path, leaf):
+        if leaf is None or not hasattr(leaf, "shape"):
+            return leaf
+        path_str = "/".join(_key_name(k) for k in path)
+        spec = tp_spec_for(path_str, leaf, axis)
+        for dim, part in enumerate(spec):
+            if part is not None and (
+                    leaf.ndim <= dim or leaf.shape[dim] % axis_size != 0):
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def count_sharded(params, mesh: Mesh, axis: str = "model") -> tuple[int, int]:
     """(n_sharded_leaves, n_total_leaves) under the TP rules — for logging."""
     axis_size = mesh.shape[axis]

@@ -95,7 +95,7 @@ def make_ssl_step(model, tx: optax.GradientTransformation, ssl_cfg: dict,
     def step(state: TrainState, batch: dict, rng: jax.Array):
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         B, T = clip.shape[0], clip.shape[1]
-        k_mask, k_top_sel, k_top_perm, k_drop = jax.random.split(rng, 4)
+        k_mask, k_top_sel, k_top_perm, k_drop, k_drop_top = jax.random.split(rng, 5)
         mask = frame_mask(k_mask, B, T, mask_ratio)  # [B, T] bool
 
         # Teacher: full sequence, EMA params, no grad.
@@ -134,10 +134,15 @@ def make_ssl_step(model, tx: optax.GradientTransformation, ssl_cfg: dict,
                 else:
                     clip_src = clip
                 clip_top, labels = permute_frames_4way(k_top_perm, clip_src)
-                ctx_top = model.apply(
+                # Train-mode forward like the reference (ref:
+                # src/train_ssl.py:238-241): batch statistics + dropout in
+                # the TOP branch, BN running stats updated by it too.
+                ctx_top, mutated3 = model.apply(
                     {"params": params, "batch_stats": new_bs},
-                    clip_top, None, train=False, method="forward_tokens",
+                    clip_top, None, train=True, method="forward_tokens",
+                    mutable=["batch_stats"], rngs={"dropout": k_drop_top},
                 )
+                new_bs = mutated3["batch_stats"]
                 feat = jnp.mean(ctx_top, axis=1)
                 if top_detach:
                     feat = jax.lax.stop_gradient(feat)

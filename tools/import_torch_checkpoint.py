@@ -42,6 +42,39 @@ import argparse
 import numpy as np
 
 
+class _TrackedDict(dict):
+    """state_dict wrapper recording which keys the converters consumed, so a
+    partial import (corrupt / differently-prefixed checkpoint) is visible
+    instead of silently yielding a partial params tree."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        hit = super().__contains__(k)
+        if hit:
+            self.consumed.add(k)
+        return hit
+
+    def unconsumed(self) -> list[str]:
+        return sorted(set(self) - self.consumed - {
+            k for k in self if k.endswith("num_batches_tracked")})
+
+
+def _warn_unconsumed(sd) -> None:
+    if isinstance(sd, _TrackedDict):
+        left = sd.unconsumed()
+        if left:
+            print(f"[WARN] {len(left)} state_dict keys were NOT consumed by the "
+                  f"conversion (partial/unknown layout?): {left[:8]}"
+                  + (" ..." if len(left) > 8 else ""))
+
+
 def _put(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
     node = tree
     for k in path[:-1]:
@@ -108,7 +141,7 @@ def _mvit_block(sd, params, stats, tpre: str, fpre: tuple[str, ...],
 def convert_classifier_state_dict(sd: dict) -> dict:
     """Reference VideoClassifier state_dict (numpy-valued) ->
     {"params": ..., "batch_stats": ...} for this repo's VideoClassifier."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = _TrackedDict({k: np.asarray(v) for k, v in sd.items()})
     params: dict = {}
     stats: dict = {}
     bb = ("backbone",)
@@ -121,6 +154,7 @@ def convert_classifier_state_dict(sd: dict) -> dict:
         _mvit_block(sd, params, stats, f"backbone.mvit{k}.1", bb + (f"mvit{k}",))
     _convbnact(sd, params, stats, "backbone.head.0", bb + ("head",))
     _linear(sd, params, "classifier", ("head",))
+    _warn_unconsumed(sd)
     return {"params": params, "batch_stats": stats}
 
 
@@ -162,8 +196,8 @@ def convert_tinyvit_state_dict(sd: dict, prefix: str = "",
     """Reference TinyViT state_dict (ref: src/models/tiny_vit.py:135-191) ->
     this repo's TinyViT variables. ``prefix`` strips a wrapper scope (e.g.
     "encoder." for MAE checkpoints)."""
-    sd = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
-          if k.startswith(prefix)}
+    sd = _TrackedDict({k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+                       if k.startswith(prefix)})
     params: dict = {}
     stats: dict = {}
     _conv2dbn(sd, params, stats, "patch_embed.patch_embed.0",
@@ -175,7 +209,14 @@ def convert_tinyvit_state_dict(sd: dict, prefix: str = "",
         off = 0
         if i > 0:
             if f"stages.{i}.0.conv.0.c.weight" not in sd:
-                break  # checkpoint saved from forward_stage3-only training
+                # Legitimate for encoder checkpoints saved from
+                # forward_stage3-only training (stage 3 never materialized),
+                # but loud so a corrupt/differently-prefixed checkpoint
+                # doesn't silently yield a partial params tree.
+                print(f"[WARN] missing key 'stages.{i}.0.conv.0.c.weight' — "
+                      f"stopping conversion at stage {i} "
+                      "(expected only for forward_stage3-only checkpoints)")
+                break
             _tv_mbconv(sd, params, stats, f"stages.{i}.0", stage + ("down",))
             off = 1
         for j in range(depth):
@@ -184,6 +225,7 @@ def convert_tinyvit_state_dict(sd: dict, prefix: str = "",
                 _tv_mbconv(sd, params, stats, tpre, stage + (f"mbconv{j}",))
             else:
                 _tv_tblock(sd, params, tpre, stage + (f"tblock{j}",))
+    _warn_unconsumed(sd)
     return {"params": params, "batch_stats": stats}
 
 
@@ -193,6 +235,10 @@ def main():
                     "orbax checkpoint consumable by model.finetune_ckpt")
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--out", required=True, help="output checkpoint dir")
+    p.add_argument("--unsafe", action="store_true",
+                   help="allow full (arbitrary-code) unpickling if the "
+                        "weights-only load fails; only for checkpoints you "
+                        "trust")
     args = p.parse_args()
 
     import os
@@ -203,7 +249,19 @@ def main():
 
     from ssl_vit_video_analytics_tpu.utils.checkpoint import save_checkpoint
 
-    blob = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
+    # Plain tensor state_dicts (the reference's save format) load fine under
+    # weights_only=True; full unpickling executes arbitrary pickled code, so
+    # it is gated behind an explicit --unsafe opt-in.
+    try:
+        blob = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not args.unsafe:
+            raise SystemExit(
+                f"[ERROR] weights-only load failed ({e}); if you trust this "
+                "checkpoint, re-run with --unsafe to allow full unpickling")
+        print("[WARN] weights-only load failed; falling back to full "
+              "unpickling (--unsafe)")
+        blob = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = blob.get("model", blob.get("state_dict", blob))
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     variables = convert_classifier_state_dict(sd)
