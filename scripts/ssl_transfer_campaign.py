@@ -1,0 +1,152 @@
+"""SSL-transfer evidence campaign (VERDICT r2 #3) + feature-privacy frontier
+(VERDICT r2 #2), on one chip.
+
+The reference's core claim is SSL-pretrain -> finetune transfer
+(ref: src/plotting.py:81-99 — ft_ssl vs ft_random 30-epoch curves on UCF101).
+UCF101 does not exist in this environment, so this runs the strongest
+available proxy: a scaled, non-trivial synthetic dataset (motion-coded
+classes, randomized appearance — data/fixtures.make_hard_synthetic_dataset)
+through the REAL pipelines at production image size:
+
+  1. pipeline-A SSL pretrain (EMA teacher-student MFM + VICReg + TOP) on the
+     train split, labels unused;
+  2. finetune ft_ssl vs ft_random vs linear_probe at EQUAL budget from the
+     SSL checkpoint, per-epoch val top-1 CSVs;
+  3. feature-privacy sigma x mask grid with the ft_random best checkpoint +
+     attacker (reference protocol, run_privacy.run_feature_privacy).
+
+Outputs under --out (default results/ssl_transfer):
+  ssl_metrics.csv, finetune_{mode}/metrics.csv, privacy/feature_privacy.csv
+
+Run (chip): python scripts/ssl_transfer_campaign.py
+Smoke (CPU): python scripts/ssl_transfer_campaign.py --smoke
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="results/ssl_transfer")
+    p.add_argument("--data", default="/tmp/ssl_campaign/data")
+    p.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
+    p.add_argument("--classes", type=int, default=24)
+    p.add_argument("--clips", type=int, default=48, help="clips per class")
+    p.add_argument("--ssl_epochs", type=int, default=60)
+    p.add_argument("--ft_epochs", type=int, default=30)
+    p.add_argument("--skip_ssl", action="store_true")
+    p.add_argument("--skip_privacy", action="store_true")
+    p.add_argument("--modes", default="ft_ssl,ft_random,linear_probe")
+    args = p.parse_args()
+
+    from ssl_vit_video_analytics_tpu.data.fixtures import make_hard_synthetic_dataset
+    from ssl_vit_video_analytics_tpu.entry import train_ssl, train_finetune, run_privacy
+
+    if args.smoke:
+        args.classes, args.clips, args.ssl_epochs, args.ft_epochs = 4, 6, 2, 2
+        S, T, B = 32, 4, 4
+        embed = 32
+    else:
+        S, T, B = 112, 16, 16
+        embed = 256
+
+    t0 = time.time()
+    splits = make_hard_synthetic_dataset(
+        args.data, num_classes=args.classes, videos_per_class=args.clips,
+        num_frames=T, image_size=S, seed=0)
+    n_train = sum(1 for _ in open(splits["train"]))
+    n_val = sum(1 for _ in open(splits["val"]))
+    print(f"[campaign] dataset: {n_train} train / {n_val} val clips, "
+          f"{args.classes} classes, T={T}, {S}x{S} ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    base = {
+        "seed": 42,
+        "device": {"compute_dtype": "float32" if args.smoke else "bfloat16"},
+        "dataset": {"backend": "packed", "train_split": splits["train"],
+                    "val_split": splits["val"], "num_classes": args.classes,
+                    "clip_len": T, "stride": 1, "image_size": S},
+        "paths": {"log_dir": os.path.join(args.out, "logs"), "split_root": "",
+                  "save_dir": os.path.join(args.out, "finetune")},
+    }
+
+    ssl_dir = os.path.join(args.out, "ssl")
+    ssl_ckpt = os.path.join(ssl_dir, f"ssl_epoch_{args.ssl_epochs}")
+    if not args.skip_ssl:
+        ssl_cfg = {
+            **base,
+            "model": {"embed_dim": embed, "temporal_layers": 4 if not args.smoke else 1,
+                      "temporal_heads": 4 if not args.smoke else 2},
+            "training": {"epochs": args.ssl_epochs, "batch_size": B,
+                         "learning_rate": 5e-4, "weight_decay": 0.05,
+                         "save_every": args.ssl_epochs, "save_dir": ssl_dir,
+                         "clip_grad_norm": 1.0, "log_interval": 20,
+                         "scheduler": {"enable": True, "warmup_epochs": 3}},
+            # reference ssl_train.yaml knobs (mask .75, ema .996, var 25, TOP)
+            "ssl_objectives": {"mask_ratio": 0.75, "mfm_weight": 1.0,
+                               "ema_momentum": 0.996, "var_weight": 25.0,
+                               "top_weight": 1.0, "top_start_epoch": 3,
+                               "top_every": 2, "top_subsample": 0.5},
+        }
+        print("[campaign] === pipeline-A SSL pretrain ===", flush=True)
+        train_ssl.run(ssl_cfg, log=print)
+
+    results = {}
+    for mode in args.modes.split(","):
+        ft_cfg = {
+            **base,
+            "model": {"embed_dim": embed,
+                      "pretrained_ssl": ssl_ckpt if mode != "ft_random" else None},
+            "training": {"epochs": args.ft_epochs, "batch_size": B,
+                         "learning_rate": 1e-4, "head_lr": 1e-3,
+                         "weight_decay": 0.05, "log_interval": 50,
+                         "stage1_epochs": max(1, args.ft_epochs // 3)},
+            "evaluation": {"topk": [1, 5]},
+        }
+        print(f"[campaign] === finetune {mode} ({args.ft_epochs} ep) ===", flush=True)
+        out = train_finetune.run(ft_cfg, mode=mode, log=print)
+        results[mode] = out["best_top1"]
+        print(f"[campaign] {mode}: best val top1 = {out['best_top1']:.4f}",
+              flush=True)
+
+    if not args.skip_privacy:
+        # feature grid with the ft_random best ckpt (the utility model), on
+        # the TRAIN split for sample count (reference uses its privacy split;
+        # the protocol — attacker trained and evaluated on the same perturbed
+        # set — is identical, run_privacy.py docstring)
+        priv_cfg = {
+            **base,
+            "dataset": {**base["dataset"], "split": splits["train"]},
+            "model": {"embed_dim": embed,
+                      "finetune_ckpt": os.path.join(
+                          base["paths"]["save_dir"], "ft_random", "best")},
+            "runtime": {"batch_size": B},
+            "visual_privacy": {"enabled": False},
+            "feature_privacy": {"enabled": True,
+                                "noise_sigmas": [0.0, 0.05, 0.1, 0.2],
+                                "mask_ratios": [0.0, 0.2, 0.4],
+                                "attacker_epochs": 10, "attacker_lr": 1e-3},
+            "output": {"save_dir": os.path.join(args.out, "privacy")},
+        }
+        print("[campaign] === feature privacy grid ===", flush=True)
+        run_privacy.run(priv_cfg, log=print)
+
+    summary = {"best_top1": results, "n_train": n_train, "n_val": n_val,
+               "minutes": round((time.time() - t0) / 60.0, 1)}
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "campaign_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[campaign] done: {json.dumps(summary)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
