@@ -10,6 +10,7 @@ dtype-parameterized: params live in fp32, compute runs in ``dtype``
 """
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -60,8 +61,59 @@ class StemConvS2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _Conv1x1Params(nn.Module):
+    """Declares an nn.Conv([1,1])-compatible kernel and returns it raw —
+    the caller does the matmul. Lets moment-BN derive the BN statistics from
+    input moments without a pass over the conv output."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (1, 1, in_ch, self.features), jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """nn.BatchNorm-compatible params/stats (scale/bias + mean/var), returned
+    raw for the moment-BN path."""
+
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
 class ConvBNAct(nn.Module):
-    """Conv -> BatchNorm -> SiLU (optional)."""
+    """Conv -> BatchNorm -> SiLU (optional).
+
+    TPU moment-BN fast path (train-mode 1x1 expand convs): for y = x @ W the
+    per-channel batch statistics are linear/quadratic in the INPUT moments —
+    mean(y) = mean(x) @ W and E[y^2]_c = w_c^T (x^T x / N) w_c — so they are
+    computed from one tiny [Cin, Cin] Gram matmul instead of a full pass over
+    the [N, Cout] conv output. The conv output is then consumed exactly once
+    by a fused matmul->affine(->act) epilogue: at TinyViT stage-1 shapes that
+    removes two ~600 MB HBM trips per expand conv (the stats read and the
+    re-read for normalize), the in-situ "BN train stats" cost of
+    scripts/probe_mbconv_ablate.py. Autodiff through the moments reproduces
+    the exact BN-train gradient — no custom VJP. Applied when Cin <= Cout
+    (expand direction: Gram cost N*Cin^2 FLOPs is negligible vs the saved
+    N*Cout bytes); param/stat tree is identical to the nn.Conv+nn.BatchNorm
+    path, so checkpoints and the torch importer are unaffected.
+
+    OPT-IN (SSL_VIT_TPU_MOMENT_BN=1): the on-chip A/B (scripts/profile_pieces
+    full step, B=16) measured 243.4/243.7 ms with moment-BN vs 230.9 ms
+    without — XLA already keeps the stats+normalize pass fused with the conv,
+    while the Gram matmul adds un-fusable work. Kept (off by default) because
+    the algebra is exactness-tested and may win at larger Cout/Cin ratios.
+    """
 
     features: int
     kernel: int = 3
@@ -74,7 +126,34 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
-        if (self.kernel == 3 and self.stride == 2 and self.groups == 1
+        moment_bn = (train and self.kernel == 1 and self.stride == 1
+                     and self.groups == 1 and x.shape[-1] <= self.features
+                     and os.environ.get("SSL_VIT_TPU_MOMENT_BN", "0") == "1")
+        if moment_bn:
+            in_ch = x.shape[-1]
+            w = _Conv1x1Params(self.features, name="Conv_0")(in_ch)
+            scale, bias, ra_mean, ra_var = _BNParams(
+                self.bn_scale_init, name="BatchNorm_0")(self.features)
+            wf = w.reshape(in_ch, self.features).astype(jnp.float32)
+            # moments straight off the (bf16) activations with f32
+            # accumulation — an astype(f32) here would materialize a full
+            # f32 copy of x plus its gradient (measured +14 ms/step)
+            xf = x.reshape(-1, in_ch)
+            n = xf.shape[0]
+            mean_x = jnp.mean(xf, axis=0, dtype=jnp.float32)
+            gram = jax.lax.dot_general(xf, xf, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32) / n
+            mu = mean_x @ wf                                   # [Cout]
+            ey2 = jnp.sum((gram @ wf) * wf, axis=0)            # [Cout]
+            var = jnp.maximum(ey2 - mu * mu, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mu
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            y = x.astype(self.dtype) @ wf.astype(self.dtype)
+            inv = jax.lax.rsqrt(var + 1e-5)
+            x = (y * (scale * inv).astype(self.dtype)
+                 + (bias - mu * scale * inv).astype(self.dtype))
+        elif (self.kernel == 3 and self.stride == 2 and self.groups == 1
                 and x.shape[-1] <= 4 and x.shape[-3] % 2 == 0
                 and x.shape[-2] % 2 == 0):
             x = StemConvS2D(self.features, dtype=self.dtype, name="Conv_0")(x)
@@ -84,10 +163,11 @@ class ConvBNAct(nn.Module):
                 padding=[(pad, pad), (pad, pad)], feature_group_count=self.groups,
                 use_bias=False, dtype=self.dtype,
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, scale_init=self.bn_scale_init,
-        )(x)
+        if not moment_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, scale_init=self.bn_scale_init,
+            )(x)
         if self.act:
             x = nn.silu(x)
         return x
