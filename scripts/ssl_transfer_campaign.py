@@ -43,6 +43,10 @@ def main():
     p.add_argument("--clips", type=int, default=48, help="clips per class")
     p.add_argument("--ssl_epochs", type=int, default=60)
     p.add_argument("--ft_epochs", type=int, default=30)
+    p.add_argument("--ft_lr", type=float, default=1e-4)
+    p.add_argument("--ft_head_lr", type=float, default=1e-3)
+    p.add_argument("--ssl_ckpt", default=None,
+                   help="reuse an existing SSL checkpoint (with --skip_ssl)")
     p.add_argument("--skip_ssl", action="store_true")
     p.add_argument("--skip_privacy", action="store_true")
     p.add_argument("--modes", default="ft_ssl,ft_random,linear_probe")
@@ -80,7 +84,7 @@ def main():
     }
 
     ssl_dir = os.path.join(args.out, "ssl")
-    ssl_ckpt = os.path.join(ssl_dir, f"ssl_epoch_{args.ssl_epochs}")
+    ssl_ckpt = args.ssl_ckpt or os.path.join(ssl_dir, f"ssl_epoch_{args.ssl_epochs}")
     if not args.skip_ssl:
         ssl_cfg = {
             **base,
@@ -107,7 +111,7 @@ def main():
             "model": {"embed_dim": embed,
                       "pretrained_ssl": ssl_ckpt if mode != "ft_random" else None},
             "training": {"epochs": args.ft_epochs, "batch_size": B,
-                         "learning_rate": 1e-4, "head_lr": 1e-3,
+                         "learning_rate": args.ft_lr, "head_lr": args.ft_head_lr,
                          "weight_decay": 0.05, "log_interval": 50,
                          "stage1_epochs": max(1, args.ft_epochs // 3)},
             "evaluation": {"topk": [1, 5]},
