@@ -15,6 +15,7 @@ import time
 
 import jax
 
+from ..ops.augment import augment_from_cfg
 from ..train import finetune_engine as eng
 from ..train.state import create_train_state
 from ..utils.checkpoint import save_checkpoint, restore_checkpoint, best_ckpt_name
@@ -70,7 +71,11 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
                                batch_stats=variables.get("batch_stats"))
     mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
     state = place_state(state)
-    train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed)
+    augment = augment_from_cfg(tr)
+    if augment is not None:
+        log("[INFO] on-device augmentation enabled (training.augment)")
+    train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed,
+                                     augment=augment)
     eval_step = eng.make_eval_step(model, compute_dtype=dtype)
 
     epochs = int(tr["epochs"])
@@ -86,7 +91,8 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
             tx = eng.build_finetune_tx(tr, mode, state.params, freeze_backbone=False)
             state = place_state(
                 create_train_state(state.params, tx, batch_stats=state.batch_stats))
-            train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed)
+            train_step = eng.make_train_step(model, tx, compute_dtype=dtype, seed=seed,
+                                             augment=augment)
 
         log(f"[INFO] Epoch {epoch}/{epochs} started")
         t0 = time.perf_counter()

@@ -99,11 +99,15 @@ def build_finetune_tx(ft_training_cfg: dict, mode: str, params: Any,
 
 
 def make_train_step(model: VideoClassifier, tx: optax.GradientTransformation,
-                    compute_dtype=jnp.float32, seed: int = 0):
-    """One jitted supervised step: normalize -> forward -> CE -> update.
+                    compute_dtype=jnp.float32, seed: int = 0, augment=None):
+    """One jitted supervised step: normalize [-> augment] -> forward -> CE
+    -> update.
 
     Dropout/DropPath RNG = fold_in(key(seed), step): per-step unique, and
-    different run seeds get different regularization streams.
+    different run seeds get different regularization streams. ``augment`` is
+    an optional on-device (key, clip) -> clip fn (ops/augment.py) fused into
+    the same compiled step; the reference's supervised path has none, so the
+    default is None.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -111,6 +115,9 @@ def make_train_step(model: VideoClassifier, tx: optax.GradientTransformation,
         clip = normalize_clip(batch["clip"], dtype=compute_dtype)
         labels = batch["label"]
 
+        if augment is not None:
+            clip = augment(
+                jax.random.fold_in(jax.random.key(seed + 1), state.step), clip)
         drop_key = jax.random.fold_in(jax.random.key(seed), state.step)
 
         def loss_fn(params):
