@@ -47,6 +47,8 @@ def main():
     p.add_argument("--ft_head_lr", type=float, default=1e-3)
     p.add_argument("--ssl_ckpt", default=None,
                    help="reuse an existing SSL checkpoint (with --skip_ssl)")
+    p.add_argument("--ft_augment", action="store_true",
+                   help="enable on-device augmentation in the finetunes")
     p.add_argument("--skip_ssl", action="store_true")
     p.add_argument("--skip_privacy", action="store_true")
     p.add_argument("--modes", default="ft_ssl,ft_random,linear_probe")
@@ -113,7 +115,8 @@ def main():
             "training": {"epochs": args.ft_epochs, "batch_size": B,
                          "learning_rate": args.ft_lr, "head_lr": args.ft_head_lr,
                          "weight_decay": 0.05, "log_interval": 50,
-                         "stage1_epochs": max(1, args.ft_epochs // 3)},
+                         "stage1_epochs": max(1, args.ft_epochs // 3),
+                         "augment": args.ft_augment},
             "evaluation": {"topk": [1, 5]},
         }
         print(f"[campaign] === finetune {mode} ({args.ft_epochs} ep) ===", flush=True)
