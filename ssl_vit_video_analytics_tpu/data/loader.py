@@ -136,6 +136,21 @@ def iterate_batches(
         # (the reference's torch DataLoader is silently empty here too).
         print(f"[WARN] iterate_batches: dataset size {n} < batch_size "
               f"{batch_size} with drop_last=True -> ZERO batches per epoch")
+    for idxs_full, valid in iter_batch_indices(n, batch_size, shuffle=shuffle,
+                                               seed=seed, epoch=epoch,
+                                               drop_last=drop_last):
+        clips = np.stack([dataset.get_clip(int(i)) for i in idxs_full])
+        batch = {"clip": clips, "valid": valid}
+        if dataset.mode != "ssl":
+            batch["label"] = np.array([dataset.label(int(i)) for i in idxs_full], dtype=np.int32)
+        yield batch
+
+
+def iter_batch_indices(n: int, batch_size: int, *, shuffle: bool, seed: int,
+                       epoch: int, drop_last: bool) -> Iterator[tuple]:
+    """The batch-composition logic of :func:`iterate_batches` (epoch order,
+    tail pad-with-last + valid mask) factored out so the host path and the
+    device-resident path (:class:`DeviceClipStore`) are bit-identical."""
     order = _epoch_order(n, shuffle, seed, epoch)
     B = batch_size
     for lo in range(0, n, B):
@@ -150,11 +165,7 @@ def iterate_batches(
         else:
             valid = np.ones(B, dtype=bool)
             idxs_full = idxs
-        clips = np.stack([dataset.get_clip(int(i)) for i in idxs_full])
-        batch = {"clip": clips, "valid": valid}
-        if dataset.mode != "ssl":
-            batch["label"] = np.array([dataset.label(int(i)) for i in idxs_full], dtype=np.int32)
-        yield batch
+        yield idxs_full, valid
 
 
 def prefetch_to_device(it: Iterator[dict], size: int = 2, sharding=None) -> Iterator[dict]:

@@ -62,12 +62,44 @@ def split_path(cfg: dict, name: str) -> str:
     return os.path.join(cfg.get("paths", {}).get("split_root", "data/splits"), name)
 
 
-def epoch_batches(dataset: ClipDataset, batch_size: int, shuffle: bool, seed: int,
+def epoch_batches(dataset, batch_size: int, shuffle: bool, seed: int,
                   epoch: int, prefetch: int = 2, drop_last: bool = True,
                   sharding=None):
+    from ..data.device_store import DeviceClipStore
+
+    if isinstance(dataset, DeviceClipStore):
+        return dataset.epoch_batches(batch_size, shuffle=shuffle, seed=seed,
+                                     epoch=epoch, drop_last=drop_last,
+                                     sharding=sharding)
     it = iterate_batches(dataset, batch_size, shuffle=shuffle, seed=seed,
                          epoch=epoch, drop_last=drop_last)
     return prefetch_to_device(it, size=prefetch, sharding=sharding)
+
+
+def maybe_device_resident(cfg: dict, dataset, log=print, sharding=None,
+                          max_bytes: float = 4e9):
+    """Promote a ClipDataset to a DeviceClipStore when it fits in HBM.
+
+    dataset.device_resident: auto (default; on for TPU-backed packed splits
+    up to ``max_bytes``) | true | false. On the axon tunnel this is also the
+    leak fix — see data/device_store.py docstring.
+    """
+    if dataset is None:
+        return None
+    from ..data.device_store import DeviceClipStore
+
+    want = cfg.get("dataset", {}).get("device_resident", "auto")
+    if want in (False, 0, "false", "off"):
+        return dataset
+    est = (len(dataset) * dataset.clip_len
+           * dataset.image_size * dataset.image_size * 3)
+    if want == "auto":
+        if jax.default_backend() != "tpu" or est > max_bytes:
+            return dataset
+    elif est > 12e9:
+        log(f"[WARN] device_resident: split is {est / 1e9:.1f} GB; refusing")
+        return dataset
+    return DeviceClipStore(dataset, sharding=sharding, log=log)
 
 
 def setup_data_parallel(cfg: dict, batch_size: int, log=print):

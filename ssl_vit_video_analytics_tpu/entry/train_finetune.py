@@ -71,6 +71,8 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
                                batch_stats=variables.get("batch_stats"))
     mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
     state = place_state(state)
+    train_ds = common.maybe_device_resident(cfg, train_ds, log, sharding=batch_sharding)
+    val_ds = common.maybe_device_resident(cfg, val_ds, log, sharding=batch_sharding)
     augment = augment_from_cfg(tr)
     if augment is not None:
         log("[INFO] on-device augmentation enabled (training.augment)")

@@ -67,6 +67,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     # on replicated trees (same pattern as train_ssl_mae.py).
     mesh, batch_sharding, place_state = common.setup_data_parallel(cfg, B, log)
     state = place_state(state)
+    ds = common.maybe_device_resident(cfg, ds, log, sharding=batch_sharding)
 
     # Two compiled variants: with and without the TOP objective (the
     # reference gates TOP by epoch and step, ref: src/train_ssl.py:185,224).

@@ -78,6 +78,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     # Parallel runtime BEFORE model build: sequence_parallel selects the
     # decoder's "sp" attention impl (VERDICT r2 #5 — user-reachable TP/SP).
     mesh, batch_sharding, place_state, sp_on = common.setup_parallelism(cfg, B, log)
+    ds = common.maybe_device_resident(cfg, ds, log, sharding=batch_sharding)
     model = build_model(cfg, dtype, decoder_attn_impl="sp" if sp_on else None)
     clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
     L = (S // 8) ** 2

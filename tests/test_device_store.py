@@ -1,0 +1,73 @@
+"""DeviceClipStore (data/device_store.py): on-device gathered batches must be
+bit-identical to the host iterate_batches path (shared iter_batch_indices),
+for both dataset modes, ragged tails, and under a dp batch sharding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_vit_video_analytics_tpu.data.device_store import DeviceClipStore
+from ssl_vit_video_analytics_tpu.data.loader import ClipDataset, iterate_batches
+
+
+def _host_batches(ds, B, **kw):
+    return list(iterate_batches(ds, B, **kw))
+
+
+def _assert_batches_equal(host, dev):
+    assert len(host) == len(dev)
+    for hb, db in zip(host, dev):
+        assert set(hb) == set(db)
+        for k in hb:
+            np.testing.assert_array_equal(np.asarray(hb[k]), np.asarray(db[k]))
+
+
+def test_device_store_matches_host_path(synth_data):
+    for mode in ("ssl", "supervised"):
+        ds = ClipDataset(synth_data["train"], mode=mode, clip_len=4, stride=2,
+                         image_size=32, seed=3, verbose=False)
+        store = DeviceClipStore(ds, log=lambda *_: None)
+        for shuffle, drop_last, epoch in ((True, True, 1), (False, False, 2)):
+            kw = dict(shuffle=shuffle, seed=3, epoch=epoch, drop_last=drop_last)
+            _assert_batches_equal(
+                _host_batches(ds, 3, **kw),
+                list(store.epoch_batches(3, **kw)))
+
+
+def test_device_store_dp_sharding(synth_data):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssl_vit_video_analytics_tpu.parallel.mesh import make_mesh
+
+    ds = ClipDataset(synth_data["train"], mode="supervised", clip_len=4,
+                     stride=2, image_size=32, seed=0, verbose=False)
+    mesh = make_mesh({"data": 4})
+    dsh = NamedSharding(mesh, P("data"))
+    store = DeviceClipStore(ds, sharding=dsh, log=lambda *_: None)
+    batches = list(store.epoch_batches(8, shuffle=True, seed=0, epoch=1,
+                                       drop_last=True, sharding=dsh))
+    assert batches
+    for b in batches:
+        assert b["clip"].sharding.is_equivalent_to(dsh, b["clip"].ndim)
+    _assert_batches_equal(
+        _host_batches(ds, 8, shuffle=True, seed=0, epoch=1, drop_last=True),
+        batches)
+
+
+def test_maybe_device_resident_gating(synth_data):
+    from ssl_vit_video_analytics_tpu.entry import common
+
+    ds = ClipDataset(synth_data["train"], mode="ssl", clip_len=4, stride=2,
+                     image_size=32, seed=0, verbose=False)
+    # auto on CPU -> passthrough
+    assert common.maybe_device_resident({"dataset": {}}, ds) is ds
+    # explicit false -> passthrough
+    cfg_off = {"dataset": {"device_resident": False}}
+    assert common.maybe_device_resident(cfg_off, ds) is ds
+    # explicit true -> store, and epoch_batches dispatches to it
+    cfg_on = {"dataset": {"device_resident": True}}
+    store = common.maybe_device_resident(cfg_on, ds, log=lambda *_: None)
+    assert isinstance(store, DeviceClipStore)
+    got = list(common.epoch_batches(store, 3, shuffle=False, seed=0, epoch=0))
+    _assert_batches_equal(
+        _host_batches(ds, 3, shuffle=False, seed=0, epoch=0, drop_last=True),
+        got)
