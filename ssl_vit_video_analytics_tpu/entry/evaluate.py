@@ -33,6 +33,7 @@ def run(cfg: dict, ckpt: str | None, split: str | None, log=print,
     d = cfg["dataset"]
     split_file = common.split_path(cfg, split or d.get("val_split", d.get("split")))
     ds = common.dataset_from_cfg(cfg, split_file, "supervised", seed=seed + 999)
+    ds = common.maybe_device_resident(cfg, ds, log)
     B = int(cfg.get("training", cfg.get("runtime", {})).get("batch_size", 8))
 
     model = eng.build_model(int(d["num_classes"]), int(cfg["model"]["embed_dim"]),

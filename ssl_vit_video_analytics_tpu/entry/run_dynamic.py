@@ -87,7 +87,11 @@ def _first_batch(ds, B):
     Uses iterate_batches directly (NOT the prefetcher): abandoning a
     prefetch generator would strand its producer thread on a full queue.
     """
+    from ..data.device_store import DeviceClipStore
     from ..data.loader import iterate_batches
+    if isinstance(ds, DeviceClipStore):  # gathers have no producer thread
+        return next(iter(ds.epoch_batches(
+            B, shuffle=False, seed=0, epoch=0, drop_last=False)))
     return next(iter(iterate_batches(
         ds, B, shuffle=False, seed=0, epoch=0, drop_last=False)))
 
@@ -281,6 +285,9 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
     B = int(cfg["runtime"]["batch_size"])
     model, variables = _load_classifier(
         cfg, dtype, (B, ds.clip_len, ds.image_size, ds.image_size, 3), log)
+    # serving sweeps re-iterate the split once per knob setting; HBM-resident
+    # data makes each pass a pure on-device gather (dataset.device_resident)
+    ds = common.maybe_device_resident(cfg, ds, log)
 
     save_dir = cfg.get("output", {}).get("save_dir", "results/dynamic")
     ensure_dir(save_dir)

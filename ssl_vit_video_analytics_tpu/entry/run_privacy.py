@@ -169,6 +169,7 @@ def run_feature_privacy(cfg: dict, save_dir: str, log=print) -> str:
     dtype = common.compute_dtype_from(cfg)
     ds = common.dataset_from_cfg(cfg, common.split_path(cfg, cfg["dataset"]["split"]),
                                  "supervised")
+    ds = common.maybe_device_resident(cfg, ds, log)
     B = int(cfg["runtime"]["batch_size"])
     num_classes = int(cfg["dataset"]["num_classes"])
     model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype)

@@ -53,6 +53,35 @@ def test_device_store_dp_sharding(synth_data):
         batches)
 
 
+def test_run_dynamic_device_resident_matches_host(synth_data, tmp_path):
+    """run_dynamic with dataset.device_resident=true: identical accuracy /
+    frame-usage columns to the host path (only timings may differ)."""
+    from ssl_vit_video_analytics_tpu.entry import run_dynamic
+    from ssl_vit_video_analytics_tpu.utils.io import read_csv_dicts
+
+    def cfg(dev_res, out):
+        return {
+            "seed": 42,
+            "device": {"compute_dtype": "float32"},
+            "dataset": {"backend": "packed", "split": synth_data["val"],
+                        "num_classes": 4, "clip_len": 4, "stride": 2,
+                        "image_size": 32, "device_resident": dev_res},
+            "model": {"embed_dim": 32, "finetune_ckpt": None},
+            "runtime": {"batch_size": 4, "num_warmup": 0, "num_measure": 1},
+            "paths": {"log_dir": str(tmp_path / "logs"), "split_root": ""},
+            "output": {"save_dir": str(tmp_path / out), "save_csv": True},
+            "dynamic": {"mode": "early_exit", "confidence_thresholds": [0.3],
+                        "min_frames": 2, "max_frames": 4, "frame_step": 1},
+        }
+
+    host = read_csv_dicts(run_dynamic.run(
+        cfg(False, "host"), mode="early_exit", log=lambda *_: None)["csv"])
+    dev = read_csv_dicts(run_dynamic.run(
+        cfg(True, "dev"), mode="early_exit", log=lambda *_: None)["csv"])
+    for col in ("top1", "top5", "avg_frames", "avg_conf"):
+        assert host[0][col] == dev[0][col], col
+
+
 def test_maybe_device_resident_gating(synth_data):
     from ssl_vit_video_analytics_tpu.entry import common
 
