@@ -105,8 +105,11 @@ def serving_latency(on_tpu: bool, thr: float = 0.75):
     """p50/p95 per-clip early-exit serving latency (BASELINE.json tracks
     "p50 per-clip latency"; reference GPU logs 54-58 ms/clip at these knobs,
     logs/dynamic.log). Batch 8, threshold 0.75, min 4 / max 16 frames — the
-    reference's dynamic.yaml settings."""
-    from ssl_vit_video_analytics_tpu.models.dynamic import streaming_early_exit
+    reference's dynamic.yaml settings. Uses the implementation run_dynamic
+    auto-selects on this backend (batched on TPU — statistically identical
+    to streaming, tests/test_dynamic.py)."""
+    from ssl_vit_video_analytics_tpu.models.dynamic import (
+        early_exit_batched, streaming_early_exit)
     from ssl_vit_video_analytics_tpu.ops.preprocess import normalize_clip
     from ssl_vit_video_analytics_tpu.train import finetune_engine as eng
 
@@ -120,7 +123,8 @@ def serving_latency(on_tpu: bool, thr: float = 0.75):
     def classify_fn(emb):
         return model.apply(variables, emb, method="classify_embedding")
 
-    fn = jax.jit(lambda raw, t: streaming_early_exit(
+    ee_fn = early_exit_batched if on_tpu else streaming_early_exit
+    fn = jax.jit(lambda raw, t: ee_fn(
         embed_fn, classify_fn, normalize_clip(raw), t,
         min_frames=4, max_frames=None, frame_step=1))
     clip = jax.device_put(np.random.randint(0, 255, (B, T, S, S, 3), dtype=np.uint8))

@@ -38,6 +38,12 @@ def run(cmd_module: str, overrides: list[str], extra: list[str] = (),
     return subprocess.call(cmd)
 
 
+def _cap(args, grid):
+    """Apply --max_per_group (None = full grid, ref runs all cells)."""
+    n = getattr(args, "max_per_group", None)
+    return list(grid)[:n] if n else list(grid)
+
+
 def sampling_grid(args, index):
     """clip_len x stride x image_size sweep through finetune
     (ref: src/ablations.py:63-99)."""
@@ -47,7 +53,7 @@ def sampling_grid(args, index):
         {"dataset.clip_len": 32, "dataset.stride": 4, "dataset.image_size": 112},
         {"dataset.clip_len": 32, "dataset.stride": 2, "dataset.image_size": 96},
     ]
-    for g in grid:
+    for g in _cap(args, grid):
         tag = f"SAMP_CL{g['dataset.clip_len']}_ST{g['dataset.stride']}_IM{g['dataset.image_size']}"
         ov = [f"{k}={v}" for k, v in g.items()]
         ov.append(f"paths.save_dir={os.path.join(args.out_dir, tag, 'finetune')}")
@@ -64,7 +70,7 @@ def ssl_objective_grid(args, index):
         {"ssl_objectives.mask_ratio": 0.5},
         {"ssl_objectives.mask_ratio": 0.9},
     ]
-    for g in grid:
+    for g in _cap(args, grid):
         tag = "SSL_" + "_".join(f"{k.split('.')[-1]}{v}" for k, v in g.items())
         ov = [f"{k}={v}" for k, v in g.items()]
         ov.append(f"training.save_dir={os.path.join(args.out_dir, tag, 'ssl')}")
@@ -75,7 +81,7 @@ def ssl_objective_grid(args, index):
 
 def privacy_grid(args, index):
     """Blur-strength sweep (ref: src/ablations.py:147-171)."""
-    for k in (15, 31, 63):
+    for k in _cap(args, (15, 31, 63)):
         tag = f"PRIV_BLUR{k}"
         ov = [f"visual_privacy.blur_kernel={k}",
               f"output.save_dir={os.path.join(args.out_dir, tag, 'privacy')}"]
@@ -91,7 +97,7 @@ def dynamic_grid(args, index):
         {"dynamic.min_frames": 8},
         {"dynamic.frame_step": 2},
     ]
-    for g in grid:
+    for g in _cap(args, grid):
         tag = "DYN_" + "_".join(f"{k.split('.')[-1]}{v}" for k, v in g.items())
         ov = [f"{k}={v}" for k, v in g.items()]
         ov.append(f"output.save_dir={os.path.join(args.out_dir, tag, 'dynamic')}")
@@ -117,6 +123,8 @@ def main():
     p.add_argument("--ssl_config", default="configs/ssl_train.yaml")
     p.add_argument("--privacy_config", default="configs/privacy.yaml")
     p.add_argument("--dynamic_config", default="configs/dynamic.yaml")
+    p.add_argument("--max_per_group", type=int, default=None,
+                   help="run only the first N cells of each grid")
     p.add_argument("--dry_run", action="store_true",
                    help="print the subprocess commands without running")
     args = p.parse_args()

@@ -132,3 +132,65 @@ def streaming_early_exit(
 
     final_conf = jnp.max(jax.nn.softmax(final_logits.astype(jnp.float32), axis=1), axis=1)
     return final_logits, EarlyExitStats(used_frames=used, final_conf=final_conf)
+
+
+def early_exit_batched(
+    embed_fn: Callable[[jax.Array], jax.Array],
+    classify_fn: Callable[[jax.Array], jax.Array],
+    clip: jax.Array,
+    threshold: float,
+    min_frames: int = 4,
+    max_frames: int | None = None,
+    frame_step: int = 1,
+) -> tuple[jax.Array, EarlyExitStats]:
+    """TPU-first early exit: identical statistics to ``streaming_early_exit``,
+    one batched encode instead of a sequential per-frame loop.
+
+    The streaming formulation (and the reference's, src/models/dynamic_infer.py
+    :152-186) saves GPU compute by encoding frames one at a time and stopping
+    when every sample is decided — but on a batch the loop runs until the
+    SLOWEST sample exits, and per-frame encodes are tiny matmuls that strand
+    the MXU (measured: ~150 ms/batch-of-8 streaming vs ~32 ms for one full
+    16-frame batched forward on v5e). Since each visited frame's embedding is
+    independent of the exit decision, we can encode all visited frames in ONE
+    [B*M]-batched call, rebuild the per-sample running means as prefix sums
+    (a ``lax.scan`` of sequential adds in the same order and dtype as the
+    streaming loop, so sums are bit-identical), classify all M prefix means in
+    one batched call, and select the first eligible checkpoint per sample.
+    ``used_frames``/``final_conf``/``final_logits`` match the streaming path
+    exactly (tests/test_dynamic.py); only wall-clock differs.
+    """
+    B, T = clip.shape[:2]
+    if max_frames is not None:
+        T = min(T, int(max_frames))
+        clip = clip[:, :T]
+    frame_step = max(int(frame_step), 1)
+    min_frames = max(int(min_frames), 1)
+
+    # visited-frame schedule of the streaming loop: 0 first, then 1, 1+s, ...
+    visit = [0] + list(range(1, T, frame_step))
+    M = len(visit)
+    frames = jnp.take(clip, jnp.asarray(visit, jnp.int32), axis=1)  # [B,M,...]
+    emb = embed_fn(frames.reshape((B * M,) + frames.shape[2:]))
+    emb = emb.reshape(B, M, -1)
+
+    # prefix sums in streaming order (left-to-right adds -> bit-identical)
+    def add(carry, e):
+        s = carry + e
+        return s, s
+
+    _, sums = jax.lax.scan(add, jnp.zeros_like(emb[:, 0]),
+                           jnp.swapaxes(emb, 0, 1))                 # [M,B,D]
+    cnts = jnp.arange(1, M + 1, dtype=jnp.int32)                    # [M]
+    means = sums / cnts[:, None, None].astype(emb.dtype)
+    logits = classify_fn(means.reshape(M * B, -1)).reshape(M, B, -1)
+    conf = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=-1)
+
+    eligible = (conf >= threshold) & (cnts[:, None] >= min_frames)  # [M,B]
+    first = jnp.argmax(eligible, axis=0)                            # [B]
+    jstar = jnp.where(jnp.any(eligible, axis=0), first, M - 1)
+    final_logits = jnp.take_along_axis(
+        logits, jstar[None, :, None], axis=0)[0]                    # [B,K]
+    used = cnts[jstar]
+    final_conf = jnp.max(jax.nn.softmax(final_logits.astype(jnp.float32), axis=1), axis=1)
+    return final_logits, EarlyExitStats(used_frames=used, final_conf=final_conf)

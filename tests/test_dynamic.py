@@ -63,3 +63,38 @@ def test_streaming_early_exit_semantics():
         lambda c: streaming_early_exit(embed_fn, classify_fn, c, 0.9,
                                        min_frames=1))(jnp.asarray(clip_all))
     assert (np.asarray(st2.used_frames) == 1).all()
+
+
+def test_batched_early_exit_matches_streaming():
+    """early_exit_batched is a TPU-first reformulation of the streaming loop:
+    identical used_frames / final_conf / logits at every knob setting (the
+    prefix sums replay the streaming adds in the same order and dtype)."""
+    from ssl_vit_video_analytics_tpu.models.dynamic import early_exit_batched
+
+    B, T, D, K = 5, 7, 6, 3
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(D, K)).astype(np.float32))
+
+    def embed_fn(frames):  # [N, 1, 1, D] pseudo-images -> [N, D]
+        return jnp.tanh(frames[:, 0, 0, :] * 1.7)
+
+    def classify_fn(emb):
+        return emb @ w
+
+    clip = jnp.asarray(rng.normal(size=(B, T, 1, 1, D)).astype(np.float32) * 2)
+    for thr, mf, mx, fs in [(0.0, 1, None, 1), (0.35, 2, None, 1),
+                            (0.6, 4, 5, 2), (0.99, 3, None, 3),
+                            (1.01, 1, None, 1)]:  # 1.01: nobody ever exits
+        lg_s, st_s = jax.jit(lambda c, t=thr, m=mf, x=mx, f=fs: streaming_early_exit(
+            embed_fn, classify_fn, c, t, min_frames=m, max_frames=x,
+            frame_step=f))(clip)
+        lg_b, st_b = jax.jit(lambda c, t=thr, m=mf, x=mx, f=fs: early_exit_batched(
+            embed_fn, classify_fn, c, t, min_frames=m, max_frames=x,
+            frame_step=f))(clip)
+        np.testing.assert_array_equal(np.asarray(st_s.used_frames),
+                                      np.asarray(st_b.used_frames),
+                                      err_msg=f"thr={thr} mf={mf} mx={mx} fs={fs}")
+        np.testing.assert_allclose(np.asarray(lg_s), np.asarray(lg_b),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_s.final_conf),
+                                   np.asarray(st_b.final_conf), rtol=0, atol=1e-6)
