@@ -41,6 +41,13 @@ def main():
     p.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
     p.add_argument("--classes", type=int, default=24)
     p.add_argument("--clips", type=int, default=48, help="clips per class")
+    p.add_argument("--nuisance", type=float, default=1.0,
+                   help="fixture nuisance level (appearance/background noise)")
+    p.add_argument("--motion", type=float, default=1.0,
+                   help="fixture motion-signal strength")
+    p.add_argument("--appearance", type=float, default=0.0,
+                   help="fixture appearance-signal strength (0 = motion-only classes)")
+    p.add_argument("--data_seed", type=int, default=0)
     p.add_argument("--ssl_epochs", type=int, default=60)
     p.add_argument("--ft_epochs", type=int, default=30)
     p.add_argument("--ft_lr", type=float, default=1e-4)
@@ -49,6 +56,11 @@ def main():
                    help="reuse an existing SSL checkpoint (with --skip_ssl)")
     p.add_argument("--ft_augment", action="store_true",
                    help="enable on-device augmentation in the finetunes")
+    p.add_argument("--ft_label_fraction", type=float, default=1.0,
+                   help="fraction of train labels the finetunes may use "
+                        "(class-balanced subsample; SSL always pretrains on "
+                        "the FULL unlabeled train split — the label-efficiency "
+                        "regime SSL targets)")
     p.add_argument("--skip_ssl", action="store_true")
     p.add_argument("--skip_privacy", action="store_true")
     p.add_argument("--modes", default="ft_ssl,ft_random,linear_probe")
@@ -68,7 +80,9 @@ def main():
     t0 = time.time()
     splits = make_hard_synthetic_dataset(
         args.data, num_classes=args.classes, videos_per_class=args.clips,
-        num_frames=T, image_size=S, seed=0)
+        num_frames=T, image_size=S, seed=args.data_seed,
+        nuisance=args.nuisance, motion_signal=args.motion,
+        appearance_signal=args.appearance)
     n_train = sum(1 for _ in open(splits["train"]))
     n_val = sum(1 for _ in open(splits["val"]))
     print(f"[campaign] dataset: {n_train} train / {n_val} val clips, "
@@ -106,10 +120,32 @@ def main():
         print("[campaign] === pipeline-A SSL pretrain ===", flush=True)
         train_ssl.run(ssl_cfg, log=print)
 
+    ft_train_split = splits["train"]
+    if args.ft_label_fraction < 1.0:
+        import random as _random
+
+        from ssl_vit_video_analytics_tpu.data.splits import (read_split,
+                                                             write_split)
+        items = read_split(splits["train"])
+        by_class: dict[int, list] = {}
+        for p_, y_ in items:
+            by_class.setdefault(y_, []).append((p_, y_))
+        rng_sub = _random.Random(123)
+        keep = []
+        for y_, group in sorted(by_class.items()):
+            rng_sub.shuffle(group)
+            keep += group[:max(1, int(len(group) * args.ft_label_fraction))]
+        ft_train_split = os.path.join(args.out, "ft_train_subset.txt")
+        os.makedirs(args.out, exist_ok=True)
+        write_split(keep, ft_train_split)
+        print(f"[campaign] finetune label budget: {len(keep)}/{len(items)} "
+              f"clips ({args.ft_label_fraction:.0%}, class-balanced)", flush=True)
+
     results = {}
     for mode in args.modes.split(","):
         ft_cfg = {
             **base,
+            "dataset": {**base["dataset"], "train_split": ft_train_split},
             "model": {"embed_dim": embed,
                       "pretrained_ssl": ssl_ckpt if mode != "ft_random" else None},
             "training": {"epochs": args.ft_epochs, "batch_size": B,
