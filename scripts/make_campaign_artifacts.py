@@ -33,11 +33,11 @@ def main():
     priv_csv = os.path.join(args.campaign, "privacy", "feature_privacy.csv")
 
     made = [
-        fig_ssl_dynamics(ssl_csv, os.path.join(figs_dir, "ssl_dynamics.png")),
+        fig_ssl_dynamics(ssl_csv, os.path.join(figs_dir, "fig_ssl_dynamics.png")),
         fig_finetune_comparison(
-            ft_csvs, os.path.join(figs_dir, "finetune_comparison.png")),
+            ft_csvs, os.path.join(figs_dir, "fig_finetune_comparison.png")),
         fig_statistical_analysis(
-            ft_csvs, os.path.join(figs_dir, "statistical_analysis.png")),
+            ft_csvs, os.path.join(figs_dir, "fig_statistical_analysis.png")),
         fig18_feature_privacy(
             priv_csv, os.path.join(figs_dir, "fig18_feature_privacy.png")),
     ]
