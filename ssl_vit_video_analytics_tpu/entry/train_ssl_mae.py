@@ -161,7 +161,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
                 break
         if metrics is not None:
             last_loss = float(metrics["loss"])
-        log(f"[INFO] epoch {epoch} done in {time.perf_counter() - t_ep:.1f}s")
+        log(f"[INFO] epoch {epoch} done in {time.perf_counter() - t_ep:.1f}s "
+            f"loss={last_loss:.4f}")
         if epoch % save_every == 0 or epoch == epochs:
             # encoder-only checkpoint, like the reference
             path = save_checkpoint(save_dir, f"ckpt_epoch_{epoch}", {
@@ -170,6 +171,16 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
                                 if state.batch_stats else None),
             })
             log(f"[INFO] saved encoder checkpoint: {path}")
+            if bool(tr.get("save_full", False)):
+                # TPU-framework extension: full {encoder, decoder} weights so
+                # entry.visualize_mae can render real reconstructions (the
+                # reference's encoder-only saves leave its decoder random,
+                # ref: src/visualize_mae.py:104-108 WARN path).
+                path = save_checkpoint(save_dir, f"ckpt_full_epoch_{epoch}", {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                })
+                log(f"[INFO] saved full checkpoint: {path}")
         if max_steps is not None and global_step >= max_steps:
             break
 

@@ -29,6 +29,29 @@ def test_train_ssl_mae_smoke(synth_data, tmp_path):
     assert out["steps"] == 2 and np.isfinite(out["last_loss"])
 
 
+def test_train_ssl_mae_save_full(synth_data, tmp_path):
+    """training.save_full: alongside the reference-parity encoder-only save,
+    a full {encoder, decoder} checkpoint is written so visualize_mae can
+    render real reconstructions (the encoder-only path leaves the decoder
+    random, ref: src/visualize_mae.py:104-108)."""
+    from ssl_vit_video_analytics_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = base_cfg(synth_data, tmp_path)
+    cfg["model"] = {"type": "tiny_vit_21m_variant", "embed_dims": [8, 16, 24, 32],
+                    "decoder_embed_dim": 16, "decoder_depth": 1,
+                    "decoder_num_heads": 2, "use_checkpoint": False}
+    cfg["ssl"] = {"mask_ratio": 0.9, "mask_strategy": "tube", "norm_pix_loss": True}
+    cfg["training"] = {"epochs": 1, "batch_size": 4, "accumulation_steps": 1,
+                       "lr": 1e-3, "min_lr": 0.0, "warmup_epochs": 0,
+                       "weight_decay": 0.05, "save_dir": str(tmp_path / "bf"),
+                       "save_every": 1, "log_interval": 100, "save_full": True}
+    train_ssl_mae.run(cfg, log=lambda *_: None, max_steps=1)
+    full = restore_checkpoint(str(tmp_path / "bf" / "ckpt_full_epoch_1"))
+    assert "decoder" in full["params"] and "encoder" in full["params"]
+    enc_only = restore_checkpoint(str(tmp_path / "bf" / "ckpt_epoch_1"))
+    assert "decoder" not in enc_only["params"]
+
+
 def test_train_mae_smoke(synth_data, tmp_path):
     cfg = base_cfg(synth_data, tmp_path)
     cfg["model"] = {"use_checkpoint": False}
