@@ -45,7 +45,13 @@ def main():
     p.add_argument("--clips", type=int, default=48)
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--nuisance", type=float, default=1.0,
+                   help="fixture noise/appearance nuisance level; lower "
+                        "values give visually cleaner reconstructions")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--triptychs_only", action="store_true",
+                   help="skip training; re-render triptychs from the saved "
+                        "full checkpoint under --out")
     args = p.parse_args()
 
     from ssl_vit_video_analytics_tpu.data.fixtures import make_hard_synthetic_dataset
@@ -62,7 +68,7 @@ def main():
     t0 = time.time()
     splits = make_hard_synthetic_dataset(
         args.data, num_classes=args.classes, videos_per_class=args.clips,
-        num_frames=T, image_size=S, seed=0)
+        num_frames=T, image_size=S, seed=0, nuisance=args.nuisance)
     print(f"[mae-evidence] dataset ready ({time.time() - t0:.0f}s)", flush=True)
 
     cfg = load_config("configs/ssl_mae.yaml", base="configs/base.yaml")
@@ -75,10 +81,18 @@ def main():
         cfg["model"].update(embed_dims=[8, 16, 24, 32], decoder_embed_dim=16,
                             decoder_depth=1, decoder_num_heads=2)
     cfg["model"]["use_checkpoint"] = False
+    # base.yaml's 200-epoch recipe keeps warmup_epochs=40; rescale the
+    # schedule to this run's horizon so most of it is cosine, not warmup
     cfg["training"].update(epochs=args.epochs, batch_size=args.batch,
+                           warmup_epochs=max(1, args.epochs // 12),
+                           accumulation_steps=1,
                            save_dir=os.path.join(args.out, "ckpt"),
                            save_every=args.epochs, save_full=True,
                            log_interval=20)
+
+    if args.triptychs_only:
+        make_triptychs(args, cfg, splits, T, S)
+        return
 
     ensure_dir(args.out)
     lines: list[str] = []
@@ -148,7 +162,8 @@ def make_triptychs(args, cfg, splits, T, S, n_samples=3):
         mask = get_tube_mask(jax.random.key(i), 1, T, L, ratio)
         out = save_reconstruction_triptych(
             model, variables, clip_u8, mask, 8,
-            os.path.join(args.out, f"recon_val_{i}.png"), dtype)
+            os.path.join(args.out, f"recon_val_{i}.png"), dtype,
+            norm_pix=bool(cfg["ssl"].get("norm_pix_loss", False)))
         print(f"[mae-evidence] wrote {out}", flush=True)
 
 

@@ -65,7 +65,8 @@ def main():
         mask = get_tube_mask(jax.random.key(i), 1, T, L, ratio)
         out = save_reconstruction_triptych(
             model, variables, clip_u8, mask, 8,
-            os.path.join(args.out_dir, f"recon_{i:03d}.png"), dtype)
+            os.path.join(args.out_dir, f"recon_{i:03d}.png"), dtype,
+            norm_pix=bool(cfg.get("ssl", {}).get("norm_pix_loss", False)))
         print(f"[INFO] wrote {out}")
 
 

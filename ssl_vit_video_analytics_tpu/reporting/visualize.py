@@ -22,7 +22,7 @@ except ImportError:  # pragma: no cover
     plt = None
 
 from ..data.masking import make_token_mask
-from ..ops.patchify import unpatchify
+from ..ops.patchify import patchify, unpatchify
 from ..ops.preprocess import denormalize_clip, normalize_clip
 
 
@@ -62,14 +62,27 @@ def save_mae_vis(model, state, ds, out_dir: str, epoch: int, tokens_per_frame: i
 
 def save_reconstruction_triptych(model, variables, clip_u8: np.ndarray, mask,
                                  patch_size: int, out_path: str, dtype,
-                                 max_frames: int = 4) -> str | None:
-    """orig | masked | recon rows for the first few frames (pipeline B)."""
+                                 max_frames: int = 4,
+                                 norm_pix: bool = False) -> str | None:
+    """orig | masked | recon rows for the first few frames (pipeline B).
+
+    With ``norm_pix`` the decoder predicts per-patch standardized pixels
+    (train/losses.py norm-pix targets), so predictions are un-standardized
+    with the ground-truth patch mean/std before unpatchify — the standard
+    MAE visualization convention.
+    """
     if plt is None:
         return None
     clip = normalize_clip(jnp.asarray(clip_u8[None]), dtype=dtype)
     B, T, H, W, C = clip.shape
     pred = jax.jit(lambda v, c, m: model.apply(v, c, m))(variables, clip, mask)
-    recon = denormalize_clip(unpatchify(pred.astype(jnp.float32), patch_size, T, H, W))
+    pred = pred.astype(jnp.float32)
+    if norm_pix:
+        tgt = patchify(clip.astype(jnp.float32), patch_size)
+        mean = jnp.mean(tgt, axis=-1, keepdims=True)
+        var = jnp.var(tgt, axis=-1, keepdims=True)
+        pred = pred * jnp.sqrt(var + 1e-6) + mean
+    recon = denormalize_clip(unpatchify(pred, patch_size, T, H, W))
     recon_np = np.clip(np.asarray(recon)[0], 0, 255).astype(np.uint8)
 
     gh = H // patch_size
