@@ -32,7 +32,7 @@ import jax
 
 STEP_RE = re.compile(
     r"ep=(\d+) step=\S+ loss=([\d.na]+) pred_std=([\d.na]+) "
-    r"clips/s=([\d.]+) mfu=([\d.]+)")
+    r"(?:gnorm=\S+ )?clips/s=([\d.]+) mfu=([\d.]+)")
 EPOCH_RE = re.compile(r"epoch (\d+) done in [\d.]+s loss=([\d.na]+)")
 
 
@@ -48,6 +48,11 @@ def main():
     p.add_argument("--nuisance", type=float, default=1.0,
                    help="fixture noise/appearance nuisance level; lower "
                         "values give visually cleaner reconstructions")
+    p.add_argument("--raw_pixel", action="store_true",
+                   help="train with ssl.norm_pix_loss=false (raw-pixel MSE); "
+                        "norm-pix targets of noise-dominated synthetic patches "
+                        "are irreducibly white noise, so raw-pixel runs give "
+                        "the interpretable reconstruction visuals")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--triptychs_only", action="store_true",
                    help="skip training; re-render triptychs from the saved "
@@ -81,6 +86,8 @@ def main():
         cfg["model"].update(embed_dims=[8, 16, 24, 32], decoder_embed_dim=16,
                             decoder_depth=1, decoder_num_heads=2)
     cfg["model"]["use_checkpoint"] = False
+    if args.raw_pixel:
+        cfg["ssl"]["norm_pix_loss"] = False
     # base.yaml's 200-epoch recipe keeps warmup_epochs=40; rescale the
     # schedule to this run's horizon so most of it is cosine, not warmup
     cfg["training"].update(epochs=args.epochs, batch_size=args.batch,

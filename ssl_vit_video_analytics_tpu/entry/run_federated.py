@@ -97,7 +97,7 @@ def _centralized_baseline(cfg: dict, train_split: str, val_ds, out_dir: str, log
     tr_cfg = {
         "learning_rate": float(c_cfg.get("lr", fed["lr"])),
         "weight_decay": float(c_cfg.get("weight_decay", fed["weight_decay"])),
-        "grad_clip": 1.0,
+        "grad_clip": None,  # reference client_sim.py does not clip
     }
     dtype = common.compute_dtype_from(cfg)
     seed = int(cfg.get("seed", 42))

@@ -95,7 +95,16 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         float(tr.get("min_lr", 0.0)),
     )
     tx = make_optimizer(sched, weight_decay=float(tr.get("weight_decay", 0.05)),
-                        grad_clip=float(tr.get("clip_grad_norm", 1.0)))
+                        # the reference pipeline B never clips gradients
+                        # (src/train_ssl_mae.py has no clip_grad_norm_ call,
+                        # unlike pipelines A/C) — and clipping is actively
+                        # harmful here: the zero-init downsample BN makes
+                        # init grad norms astronomically large, so a 1.0
+                        # global-norm clip scales every coordinate below
+                        # Adam's eps and silently freezes training.
+                        grad_clip=(float(tr["clip_grad_norm"])
+                                   if tr.get("clip_grad_norm") is not None
+                                   else None))
     tx = wrap_accum_and_skip(tx, accum_steps=int(tr.get("accumulation_steps", 1)))
     state = create_train_state(variables["params"], tx,
                                batch_stats=variables.get("batch_stats"))
@@ -150,6 +159,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
                        if jax.default_backend() == "tpu" else 0.0)
                 log(f"[INFO] ep={epoch} step={step}/{steps_per_epoch} "
                     f"loss={last_loss:.4f} pred_std={float(metrics['pred_std']):.4f} "
+                    f"gnorm={float(metrics['grad_norm']):.2e} "
                     f"clips/s={ips:.1f} mfu={mfu:.3f} eta={eta:.0f}s")
                 if tb is not None:
                     tb.add_scalar("Train/Loss", last_loss, global_step)

@@ -340,11 +340,17 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         D = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        # epsilon=1e-5 matches torch nn.LayerNorm (flax defaults to 1e-6).
+        # This matters beyond parity: TinyViT's stride-2 downsample MBConv
+        # zero-inits its projection BN scale (ref: src/models/tiny_vit.py:50,
+        # faithfully reproduced), so at init the transformer stages see a
+        # constant input, LN variance is ~0, and each LN backward amplifies
+        # by ~rsqrt(eps); at 1e-6 the 12-LN chain overflows f32 to inf.
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = MultiHeadAttention(self.num_heads, key_dim=self.key_dim, dtype=self.dtype,
                                attn_impl=self.attn_impl)(h)
         x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = Mlp(int(D * self.mlp_ratio), dropout=self.dropout, dtype=self.dtype)(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
         return x

@@ -72,7 +72,8 @@ class TinyVideoMAE(nn.Module):
             self.decoder_depth, self.decoder_num_heads, mlp_ratio=4.0,
             dtype=self.dtype, attn_impl=self.attn_impl, name="decoder",
         )(x_dec, deterministic=not train)
-        x_dec = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(x_dec)
+        x_dec = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="decoder_norm")(x_dec)  # torch LN eps
         pred = nn.Dense(self.patch_size ** 2 * 3, dtype=self.dtype, name="decoder_pred")(x_dec)
         return pred
 

@@ -73,7 +73,10 @@ def build_finetune_tx(ft_training_cfg: dict, mode: str, params: Any,
                       freeze_backbone: bool) -> optax.GradientTransformation:
     """AdamW with mode-dependent LR structure (ref: src/train_finetune.py:164-195)."""
     wd = float(ft_training_cfg.get("weight_decay", 0.05))
-    clip = float(ft_training_cfg.get("grad_clip", 1.0))
+    # reference finetune never clips (src/train_finetune.py has no
+    # clip_grad_norm_); grad_clip stays available as an opt-in config knob
+    clip = (float(ft_training_cfg["grad_clip"])
+            if ft_training_cfg.get("grad_clip") is not None else None)
     lr = float(ft_training_cfg["learning_rate"])
     if mode == "two_stage":
         head_lr = float(ft_training_cfg.get("head_lr", lr))

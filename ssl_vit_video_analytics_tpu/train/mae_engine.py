@@ -62,6 +62,7 @@ def make_pixel_mae_step(
         new_state = apply_updates(state, grads, tx, new_batch_stats=new_bs)
         pred_std = jnp.std(pred.astype(jnp.float32))
         metrics = {"loss": loss, "pred_std": pred_std,
+                   "grad_norm": optax.global_norm(grads),
                    "collapse": (pred_std < COLLAPSE_STD_THRESHOLD).astype(jnp.float32)}
         return new_state, metrics
 
@@ -121,6 +122,7 @@ def make_token_mae_step(
         new_state = apply_updates(state, grads, tx, new_batch_stats=new_bs)
         stats = reconstruction_error_stats(rec, target, token_mask)
         metrics = {"loss": loss, **stats,
+                   "grad_norm": optax.global_norm(grads),
                    "collapse": (stats["pred_std"] < COLLAPSE_STD_THRESHOLD).astype(jnp.float32)}
         return new_state, metrics
 
