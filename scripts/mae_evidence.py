@@ -31,9 +31,42 @@ import jax
 
 
 STEP_RE = re.compile(
-    r"ep=(\d+) step=\S+ loss=([\d.na]+) pred_std=([\d.na]+) "
+    r"ep=(\d+) step=(\d+)/(\d+) loss=([\d.na]+) pred_std=([\d.na]+) "
     r"(?:gnorm=\S+ )?clips/s=([\d.]+) mfu=([\d.]+)")
 EPOCH_RE = re.compile(r"epoch (\d+) done in [\d.]+s loss=([\d.na]+)")
+
+
+def write_metric_csvs(lines, out_dir):
+    """Parse train-log lines into per-epoch and per-step CSVs.
+
+    The per-step CSV exists because the interesting descent (init ~2.4 down
+    to ~1.0) happens inside epoch 1; a per-epoch curve starts after it."""
+    from ssl_vit_video_analytics_tpu.utils.io import write_csv
+
+    last_step = {}
+    steps = []
+    for ln in lines:
+        m = STEP_RE.search(ln)
+        if m:
+            ep, st, spe = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            last_step[ep] = m.groups()[3:]
+            steps.append({"global_step": (ep - 1) * spe + st,
+                          "loss": m.group(4), "pred_std": m.group(5)})
+    rows = []
+    for ln in lines:
+        m = EPOCH_RE.search(ln)
+        if m:
+            ep = int(m.group(1))
+            st = last_step.get(ep, ("nan",) * 4)
+            rows.append({"epoch": ep, "loss": m.group(2), "pred_std": st[1],
+                         "clips_per_s": st[2], "mfu": st[3]})
+    csv_path = os.path.join(out_dir, "mae_pretrain_metrics.csv")
+    write_csv(csv_path, rows, ["epoch", "loss", "pred_std", "clips_per_s", "mfu"])
+    steps_path = os.path.join(out_dir, "mae_pretrain_steps.csv")
+    write_csv(steps_path, steps, ["global_step", "loss", "pred_std"])
+    print(f"[mae-evidence] wrote {csv_path} ({len(rows)} epochs), "
+          f"{steps_path} ({len(steps)} step samples)", flush=True)
+    return csv_path, steps_path
 
 
 def main():
@@ -57,12 +90,15 @@ def main():
     p.add_argument("--triptychs_only", action="store_true",
                    help="skip training; re-render triptychs from the saved "
                         "full checkpoint under --out")
+    p.add_argument("--replot", action="store_true",
+                   help="skip training; regenerate CSVs + figure from the "
+                        "existing train.log under --out")
     args = p.parse_args()
 
     from ssl_vit_video_analytics_tpu.data.fixtures import make_hard_synthetic_dataset
     from ssl_vit_video_analytics_tpu.entry import train_ssl_mae
     from ssl_vit_video_analytics_tpu.utils.config import load_config
-    from ssl_vit_video_analytics_tpu.utils.io import ensure_dir, write_csv
+    from ssl_vit_video_analytics_tpu.utils.io import ensure_dir
 
     if args.smoke:
         args.classes, args.clips, args.epochs, args.batch = 4, 6, 2, 4
@@ -95,10 +131,23 @@ def main():
                            accumulation_steps=1,
                            save_dir=os.path.join(args.out, "ckpt"),
                            save_every=args.epochs, save_full=True,
-                           log_interval=20)
+                           # log every step: the init descent (loss ~2.4 ->
+                           # ~1.0) happens within the first ~20 steps and
+                           # would be invisible at the default interval
+                           log_interval=1)
 
     if args.triptychs_only:
         make_triptychs(args, cfg, splits, T, S)
+        return
+    if args.replot:
+        from ssl_vit_video_analytics_tpu.reporting.plotting import fig_mae_pretrain
+        with open(os.path.join(args.out, "train.log")) as f:
+            lines = [ln.rstrip("\n") for ln in f]
+        csv_path, steps_path = write_metric_csvs(lines, args.out)
+        fig = fig_mae_pretrain(csv_path,
+                               os.path.join(args.out, "fig_mae_pretrain.png"),
+                               steps_csv=steps_path)
+        print(f"[mae-evidence] wrote {fig}", flush=True)
         return
 
     ensure_dir(args.out)
@@ -115,27 +164,11 @@ def main():
     train_ssl_mae.run(cfg, log=log)
     logf.close()
 
-    # per-epoch CSV: epoch-end loss from the epoch line, pred_std / clips/s /
-    # mfu from the last step line inside that epoch
-    last_step: dict[int, tuple] = {}
-    for ln in lines:
-        m = STEP_RE.search(ln)
-        if m:
-            last_step[int(m.group(1))] = m.groups()[1:]
-    rows = []
-    for ln in lines:
-        m = EPOCH_RE.search(ln)
-        if m:
-            ep = int(m.group(1))
-            st = last_step.get(ep, ("nan",) * 4)
-            rows.append({"epoch": ep, "loss": m.group(2), "pred_std": st[1],
-                         "clips_per_s": st[2], "mfu": st[3]})
-    csv_path = os.path.join(args.out, "mae_pretrain_metrics.csv")
-    write_csv(csv_path, rows, ["epoch", "loss", "pred_std", "clips_per_s", "mfu"])
-    print(f"[mae-evidence] wrote {csv_path} ({len(rows)} epochs)", flush=True)
+    csv_path, steps_path = write_metric_csvs(lines, args.out)
 
     from ssl_vit_video_analytics_tpu.reporting.plotting import fig_mae_pretrain
-    fig = fig_mae_pretrain(csv_path, os.path.join(args.out, "fig_mae_pretrain.png"))
+    fig = fig_mae_pretrain(csv_path, os.path.join(args.out, "fig_mae_pretrain.png"),
+                           steps_csv=steps_path)
     print(f"[mae-evidence] wrote {fig}", flush=True)
 
     make_triptychs(args, cfg, splits, T, S)

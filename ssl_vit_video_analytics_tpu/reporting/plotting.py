@@ -208,19 +208,28 @@ def fig_ssl_dynamics(ssl_metrics_csv: str, out_path: str) -> str | None:
     return out_path
 
 
-def fig_mae_pretrain(mae_metrics_csv: str, out_path: str) -> str | None:
+def fig_mae_pretrain(mae_metrics_csv: str, out_path: str,
+                     steps_csv: str | None = None) -> str | None:
     """Pipeline-B MAE pretrain dynamics from the per-epoch metrics CSV:
     masked norm-pix loss and pred_std (the collapse signal the engine
     monitors, ref: src/mae/engine.py:143-145 / src/train_ssl_mae.py:94-121
-    logs the same quantities to TensorBoard only)."""
+    logs the same quantities to TensorBoard only). With ``steps_csv`` the
+    loss panel is step-resolved — most of the descent happens inside
+    epoch 1, which a per-epoch curve misses entirely."""
     if plt is None or not os.path.exists(mae_metrics_csv):
         return None
     rows = read_csv_dicts(mae_metrics_csv)
     ep = _floats(rows, "epoch")
     fig, axes = plt.subplots(1, 2, figsize=(9, 3.6))
-    axes[0].plot(ep, _floats(rows, "loss"), "-")
+    if steps_csv and os.path.exists(steps_csv):
+        srows = read_csv_dicts(steps_csv)
+        axes[0].plot(_floats(srows, "global_step"), _floats(srows, "loss"),
+                     "-", lw=0.9)
+        axes[0].set_xlabel("step")
+    else:
+        axes[0].plot(ep, _floats(rows, "loss"), "-")
+        axes[0].set_xlabel("epoch")
     axes[0].set_title("masked norm-pix MSE")
-    axes[0].set_xlabel("epoch")
     axes[1].plot(ep, _floats(rows, "pred_std"), "-")
     axes[1].axhline(0.05, color="tab:red", ls="--", lw=1, label="collapse threshold")
     axes[1].set_title("pred_std (collapse monitor)")
