@@ -58,7 +58,9 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     else:
         lr = float(tr["learning_rate"])
     tx = make_optimizer(lr, weight_decay=float(tr.get("weight_decay", 0.05)),
-                        grad_clip=tr.get("clip_grad_norm", 1.0))
+                        # reference clips only when the config sets the key
+                        # (src/train_ssl.py:258-259); ssl_train.yaml sets 1.0
+                        grad_clip=tr.get("clip_grad_norm"))
     state = create_train_state(
         variables["params"], tx, batch_stats=variables.get("batch_stats"),
         ema_params=jax.tree.map(jnp.copy, variables["params"]))  # EMA teacher init = student
