@@ -81,6 +81,10 @@ def main():
     p.add_argument("--nuisance", type=float, default=1.0,
                    help="fixture noise/appearance nuisance level; lower "
                         "values give visually cleaner reconstructions")
+    p.add_argument("--log_interval", type=int, default=1,
+                   help="step-log interval; every fetch costs a tunnel "
+                        "roundtrip (~35%% throughput at 1), so long runs "
+                        "may want 2-5")
     p.add_argument("--raw_pixel", action="store_true",
                    help="train with ssl.norm_pix_loss=false (raw-pixel MSE); "
                         "norm-pix targets of noise-dominated synthetic patches "
@@ -131,10 +135,10 @@ def main():
                            accumulation_steps=1,
                            save_dir=os.path.join(args.out, "ckpt"),
                            save_every=args.epochs, save_full=True,
-                           # log every step: the init descent (loss ~2.4 ->
-                           # ~1.0) happens within the first ~20 steps and
-                           # would be invisible at the default interval
-                           log_interval=1)
+                           # default 1: the init descent (loss ~2.4 -> ~1.0)
+                           # happens within the first ~20 steps and would be
+                           # invisible at the entry's default interval of 20
+                           log_interval=args.log_interval)
 
     if args.triptychs_only:
         make_triptychs(args, cfg, splits, T, S)
