@@ -57,7 +57,10 @@ def warmup_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
 def make_optimizer(
     learning_rate: float | optax.Schedule,
     weight_decay: float = 0.05,
-    grad_clip: float | None = 1.0,
+    # None: clipping is strictly opt-in — the reference clips only where a
+    # config sets it (pipelines A/C), and a silent clip default froze
+    # pipeline-B training for two rounds (docs/ROUND3_NOTES.md)
+    grad_clip: float | None = None,
     betas: tuple[float, float] = (0.9, 0.999),
     trainable_mask: Any | None = None,
 ) -> optax.GradientTransformation:
