@@ -38,6 +38,45 @@ def test_two_stage_finetune(synth_data, tmp_path):
     assert "finetune_epoch_" in out["best_ckpt"] and "_top1_" in out["best_ckpt"]
 
 
+def test_two_stage_freeze_gates_backbone_updates():
+    """The stage-1/stage-2 optimizers must actually gate backbone updates:
+    frozen -> zero backbone delta, unfrozen -> nonzero. Loss-goes-down
+    assertions alone can't see a silently frozen subtree (the round-3
+    lesson, tests/test_pipeline_b_learns.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ssl_vit_video_analytics_tpu.train import finetune_engine as eng
+
+    model = eng.build_model(4, 32)
+    variables = eng.init_model(model, jax.random.key(0), (2, 4, 32, 32, 3))
+    params = variables["params"]
+    grads = jax.tree.map(lambda p: jnp.ones_like(p), params)
+    cfg = {"learning_rate": 1e-3, "head_lr": 1e-3, "backbone_lr": 1e-4,
+           "weight_decay": 0.0}
+
+    def step(freeze):
+        tx = eng.build_finetune_tx(cfg, "two_stage", params, freeze)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates)
+
+    frozen = step(True)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(frozen["backbone"])[0]),
+        np.asarray(jax.tree.leaves(params["backbone"])[0]))
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(frozen["head"])[0]),
+        np.asarray(jax.tree.leaves(params["head"])[0]))
+
+    unfrozen = step(False)
+    deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          unfrozen["backbone"], params["backbone"])
+    assert max(jax.tree.leaves(deltas)) > 0.0
+
+
 def test_ssl_to_finetune_interop(synth_data, tmp_path):
     """Cross-entry path: pipeline-A SSL pretrain -> ft_ssl finetune loads the
     encoder into the classifier backbone (ref: src/train_finetune.py:43-63
