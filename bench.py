@@ -58,7 +58,11 @@ def main():
     L = (S // 8) ** 2
     variables = jax.jit(lambda k: model.init(k, clip0, jnp.zeros((B, T, L), bool)))(rng)
 
-    tx = make_optimizer(1e-3, weight_decay=0.05, grad_clip=1.0)
+    # production pipeline-B recipe never clips (a silent clip default froze
+    # training for two rounds — CLAUDE.md / docs/ROUND3_NOTES.md); the bench
+    # matches the shipped recipe. Clipping only ADDS work, so historical
+    # grad_clip=1.0 numbers (rounds 1-3) are comparable or slightly pessimistic.
+    tx = make_optimizer(1e-3, weight_decay=0.05, grad_clip=None)
     state = create_train_state(variables["params"], tx,
                                batch_stats=variables.get("batch_stats"))
     step_fn = make_pixel_mae_step(model, tx, mask_ratio=0.9, patch_size=8,
@@ -87,7 +91,7 @@ def main():
         pipeline_b_mfu, pipeline_b_model_kwargs)
     mfu = (pipeline_b_mfu(clips_per_sec, T, S, **pipeline_b_model_kwargs(cfg))
            if on_tpu else 0.0)
-    p50, p95 = serving_latency(on_tpu)
+    p50, p95, ee_impl = serving_latency(on_tpu)
     print(json.dumps({
         "metric": "mae_pretrain_throughput",
         "value": round(clips_per_sec, 2),
@@ -98,6 +102,12 @@ def main():
         "batch": B,
         "serving_p50_ms_per_clip": round(p50, 2),
         "serving_p95_ms_per_clip": round(p95, 2),
+        # which early-exit implementation produced the latency numbers.
+        # DISCONTINUITY: BENCH_r01/r02 + BASELINE streaming figures used
+        # "streaming"; from round 3 on TPU it is "batched" (the impl
+        # run_dynamic auto-selects there) — batched latency is
+        # threshold-independent (all scheduled frames are encoded once).
+        "early_exit_impl": ee_impl,
     }))
 
 
@@ -137,7 +147,8 @@ def serving_latency(on_tpu: bool, thr: float = 0.75):
         out = fn(clip, t_arr)
         float(np.asarray(out[1].final_conf).sum())  # host transfer = real sync
         lat.append((time.perf_counter() - t0) * 1000.0 / B)
-    return float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+    impl = "batched" if ee_fn is early_exit_batched else "streaming"
+    return float(np.percentile(lat, 50)), float(np.percentile(lat, 95)), impl
 
 
 if __name__ == "__main__":

@@ -1,5 +1,11 @@
 #!/bin/bash
-# End-to-end dataset preparation: standardize -> extract -> pack -> splits -> verify
+# End-to-end dataset preparation: acquire -> standardize -> extract -> pack
+# -> splits -> verify.
+# Acquisition (counterpart of the reference's download_dataset.ipynb) is a
+# separate, no-network-tolerant step — run it first if videos/frames are not
+# already on disk:
+#   python preprocess/download_dataset.py --dataset UCF101_frames --root data
+# (offline: add --synthetic-fallback for a runnable synthetic standin)
 set -e
 VIDEO_ROOT=${1:-data/UCF101}
 FRAME_ROOT=${2:-data/UCF101_frames}

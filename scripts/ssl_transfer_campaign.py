@@ -54,6 +54,10 @@ def main():
     p.add_argument("--ft_head_lr", type=float, default=1e-3)
     p.add_argument("--ssl_ckpt", default=None,
                    help="reuse an existing SSL checkpoint (with --skip_ssl)")
+    p.add_argument("--backbone", default="mobilevit_s",
+                   help="finetune backbone: mobilevit_s (pipeline-A ckpts) | "
+                        "tinyvit (pipeline-B/C MAE encoder ckpts; pass the "
+                        "encoder checkpoint via --ssl_ckpt --skip_ssl)")
     p.add_argument("--ft_augment", action="store_true",
                    help="enable on-device augmentation in the finetunes")
     p.add_argument("--ft_label_fraction", type=float, default=1.0,
@@ -142,11 +146,11 @@ def main():
               f"clips ({args.ft_label_fraction:.0%}, class-balanced)", flush=True)
 
     results = {}
-    for mode in args.modes.split(","):
+    for mode in [m for m in args.modes.split(",") if m]:
         ft_cfg = {
             **base,
             "dataset": {**base["dataset"], "train_split": ft_train_split},
-            "model": {"embed_dim": embed,
+            "model": {"embed_dim": embed, "backbone": args.backbone,
                       "pretrained_ssl": ssl_ckpt if mode != "ft_random" else None},
             "training": {"epochs": args.ft_epochs, "batch_size": B,
                          "learning_rate": args.ft_lr, "head_lr": args.ft_head_lr,
@@ -175,7 +179,11 @@ def main():
             "runtime": {"batch_size": B},
             "visual_privacy": {"enabled": False},
             "feature_privacy": {"enabled": True,
-                                "noise_sigmas": [0.0, 0.05, 0.1, 0.2],
+                                # reference rows first, then the calibrated
+                                # extension past the embedding per-dim std
+                                # (VERDICT r3 #2 — sigma must move leakage)
+                                "noise_sigmas": [0.0, 0.05, 0.1, 0.2,
+                                                 0.5, 1.0, 2.0, 4.0],
                                 "mask_ratios": [0.0, 0.2, 0.4],
                                 "attacker_epochs": 10, "attacker_lr": 1e-3},
             "output": {"save_dir": os.path.join(args.out, "privacy")},

@@ -39,9 +39,12 @@ def run(cmd_module: str, overrides: list[str], extra: list[str] = (),
 
 
 def _cap(args, grid):
-    """Apply --max_per_group (None = full grid, ref runs all cells)."""
+    """Apply --max_per_group (None = full grid, ref runs all cells).
+
+    0 means "run zero cells", not "run everything" — the falsy-n shortcut
+    here once silently ran the FULL grid on --max_per_group 0."""
     n = getattr(args, "max_per_group", None)
-    return list(grid)[:n] if n else list(grid)
+    return list(grid) if n is None else list(grid)[:n]
 
 
 def sampling_grid(args, index):

@@ -65,9 +65,9 @@ def split_path(cfg: dict, name: str) -> str:
 def epoch_batches(dataset, batch_size: int, shuffle: bool, seed: int,
                   epoch: int, prefetch: int = 2, drop_last: bool = True,
                   sharding=None):
-    from ..data.device_store import DeviceClipStore
+    from ..data.device_store import ChunkedDeviceClipStore, DeviceClipStore
 
-    if isinstance(dataset, DeviceClipStore):
+    if isinstance(dataset, (DeviceClipStore, ChunkedDeviceClipStore)):
         return dataset.epoch_batches(batch_size, shuffle=shuffle, seed=seed,
                                      epoch=epoch, drop_last=drop_last,
                                      sharding=sharding)
@@ -77,28 +77,46 @@ def epoch_batches(dataset, batch_size: int, shuffle: bool, seed: int,
 
 
 def maybe_device_resident(cfg: dict, dataset, log=print, sharding=None,
-                          max_bytes: float = 4e9):
-    """Promote a ClipDataset to a DeviceClipStore when it fits in HBM.
+                          max_bytes: float = 4e9, batch_size: int | None = None):
+    """Promote a ClipDataset to a device-resident store.
 
-    dataset.device_resident: auto (default; on for TPU-backed packed splits
-    up to ``max_bytes``) | true | false. On the axon tunnel this is also the
-    leak fix — see data/device_store.py docstring.
+    dataset.device_resident: auto (default) | true | false | chunked.
+      auto: TPU-backed packed splits up to ``max_bytes`` go fully resident
+        (DeviceClipStore); LARGER splits rotate HBM shards
+        (ChunkedDeviceClipStore) instead of falling back to the leaking
+        per-step host path — see data/device_store.py docstrings.
+      chunked: force shard rotation (dataset.resident_shard_bytes caps the
+        resident shard size, default 2 GB; ~2 shards live at once).
     """
     if dataset is None:
         return None
-    from ..data.device_store import DeviceClipStore
+    from ..data.device_store import ChunkedDeviceClipStore, DeviceClipStore
 
-    want = cfg.get("dataset", {}).get("device_resident", "auto")
+    d_cfg = cfg.get("dataset", {})
+    want = d_cfg.get("device_resident", "auto")
     if want in (False, 0, "false", "off"):
         return dataset
     est = (len(dataset) * dataset.clip_len
            * dataset.image_size * dataset.image_size * 3)
+
+    def chunked():
+        B = batch_size or int(cfg.get("training", cfg.get("runtime", {}))
+                              .get("batch_size", 8))
+        shard_bytes = float(d_cfg.get("resident_shard_bytes", 2e9))
+        return ChunkedDeviceClipStore(dataset, shard_bytes, B,
+                                      sharding=sharding, log=log)
+
+    if want == "chunked":
+        return chunked()
     if want == "auto":
-        if jax.default_backend() != "tpu" or est > max_bytes:
+        if jax.default_backend() != "tpu":
             return dataset
+        if est > max_bytes:
+            return chunked()
     elif est > 12e9:
-        log(f"[WARN] device_resident: split is {est / 1e9:.1f} GB; refusing")
-        return dataset
+        log(f"[WARN] device_resident: split is {est / 1e9:.1f} GB; "
+            "switching to chunked shard rotation")
+        return chunked()
     return DeviceClipStore(dataset, sharding=sharding, log=log)
 
 

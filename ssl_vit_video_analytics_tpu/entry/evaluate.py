@@ -37,7 +37,8 @@ def run(cfg: dict, ckpt: str | None, split: str | None, log=print,
     B = int(cfg.get("training", cfg.get("runtime", {})).get("batch_size", 8))
 
     model = eng.build_model(int(d["num_classes"]), int(cfg["model"]["embed_dim"]),
-                            dtype=dtype)
+                            dtype=dtype,
+                            backbone=str(cfg["model"].get("backbone", "mobilevit_s")))
     variables = eng.init_model(model, jax.random.key(0),
                                (B, ds.clip_len, ds.image_size, ds.image_size, 3))
     if ckpt and os.path.exists(ckpt):

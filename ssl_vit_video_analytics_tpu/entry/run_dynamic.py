@@ -39,7 +39,8 @@ HYBRID_FIELDS = ("k", "threshold", "top1", "top5", "avg_used_frames", "avg_conf"
 
 def _load_classifier(cfg: dict, dtype, clip_shape, log):
     model = eng.build_model(int(cfg["dataset"]["num_classes"]),
-                            int(cfg["model"]["embed_dim"]), dtype=dtype)
+                            int(cfg["model"]["embed_dim"]), dtype=dtype,
+                            backbone=str(cfg["model"].get("backbone", "mobilevit_s")))
     variables = eng.init_model(model, jax.random.key(0), clip_shape)
     ckpt = cfg["model"].get("finetune_ckpt")
     if ckpt and os.path.exists(ckpt):

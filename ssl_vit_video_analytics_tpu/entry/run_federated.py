@@ -104,7 +104,8 @@ def _centralized_baseline(cfg: dict, train_split: str, val_ds, out_dir: str, log
     train_ds = common.dataset_from_cfg(cfg, train_split, "supervised", seed=seed + 123)
     B = int(c_cfg.get("batch_size", fed["batch_size"]))
     num_classes = int(cfg["dataset"]["num_classes"])
-    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype)
+    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype,
+                            backbone=str(cfg["model"].get("backbone", "mobilevit_s")))
     variables = eng.init_model(model, jax.random.key(seed),
                                (B, train_ds.clip_len, train_ds.image_size,
                                 train_ds.image_size, 3))
@@ -173,7 +174,8 @@ def run(cfg: dict, log=print) -> dict:
     # global model
     B = int(fed["batch_size"])
     num_classes = int(d["num_classes"])
-    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype)
+    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype,
+                            backbone=str(cfg["model"].get("backbone", "mobilevit_s")))
     clip_shape = (B, val_ds.clip_len, val_ds.image_size, val_ds.image_size, 3)
     variables = eng.init_model(model, jax.random.key(seed), clip_shape)
     init_ckpt = cfg["model"].get("init_ckpt")

@@ -172,7 +172,8 @@ def run_feature_privacy(cfg: dict, save_dir: str, log=print) -> str:
     ds = common.maybe_device_resident(cfg, ds, log)
     B = int(cfg["runtime"]["batch_size"])
     num_classes = int(cfg["dataset"]["num_classes"])
-    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype)
+    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype,
+                            backbone=str(cfg["model"].get("backbone", "mobilevit_s")))
     variables = eng.init_model(model, jax.random.key(0),
                                (B, ds.clip_len, ds.image_size, ds.image_size, 3))
     ckpt = cfg["model"].get("finetune_ckpt")
@@ -200,6 +201,15 @@ def run_feature_privacy(cfg: dict, save_dir: str, log=print) -> str:
     clean_top1 = top1_accuracy(logits_clean, ys_all)
     clean_ent = prediction_entropy(logits_clean)
     log(f"[INFO] Clean embeddings -> Top-1={clean_top1:.4f}, Entropy={clean_ent:.4f}")
+    # Embedding scale anchor for choosing sigma: sigma is ABSOLUTE (reference
+    # units, ref: src/privacy/feature_noise.py:4-15), so whether a given
+    # sigma does anything depends entirely on this scale. The reference grid
+    # tops out at 0.2, which on round-3 embeddings (per-dim std ~1.5) was
+    # ~0.13 std — measurably nothing. Extend feature_privacy.noise_sigmas
+    # past the per-dim std to see the leakage knee (VERDICT r3 #2).
+    per_dim_std = float(jnp.mean(jnp.std(zs_all, axis=0)))
+    log(f"[INFO] embedding per-dim std (mean over dims) = {per_dim_std:.4f}; "
+        f"sigma=1.0 std-units is sigma={per_dim_std:.4f} absolute")
 
     key = jax.random.key(int(cfg.get("seed", 42)))
     rows = []

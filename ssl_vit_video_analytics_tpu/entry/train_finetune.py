@@ -44,7 +44,12 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
     S = train_ds.image_size
     num_classes = int(d["num_classes"])
 
-    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype)
+    backbone = str(cfg["model"].get("backbone", "mobilevit_s"))
+    model = eng.build_model(num_classes, int(cfg["model"]["embed_dim"]), dtype=dtype,
+                            backbone=backbone,
+                            backbone_kwargs=cfg["model"].get("backbone_kwargs"))
+    if backbone not in ("mobilevit_s", "mobilevit"):
+        log(f"[INFO] backbone: {backbone} (MAE-pretrained transfer path)")
     init_key, _ = jax.random.split(root_key)
     variables = eng.init_model(model, init_key, (B, T, S, S, 3))
 

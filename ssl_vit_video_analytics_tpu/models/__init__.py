@@ -3,7 +3,7 @@ from .layers import (
     MultiHeadAttention, TransformerBlock, TransformerEncoder, adaptive_avg_pool_nhwc,
 )
 from .mobilevit import MobileViTBackbone, MobileViTBlock, build_mobilevit_s
-from .tiny_vit import TinyViT, tiny_vit_21m_variant
+from .tiny_vit import TinyViT, TinyViTBackbone, tiny_vit_21m_variant
 from .mae import TinyVideoMAE, TinyViTMAE, MAEDecoder
 from .temporal import TemporalSSL
 from .classifier import VideoClassifier

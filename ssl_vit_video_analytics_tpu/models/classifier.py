@@ -12,11 +12,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .mobilevit import MobileViTBackbone
-
 
 class VideoClassifier(nn.Module):
-    backbone: MobileViTBackbone
+    # any (frames, train) -> (feat_map, emb) backbone: MobileViTBackbone
+    # (reference parity) or TinyViTBackbone (MAE-pretrained transfer)
+    backbone: nn.Module
     num_classes: int
 
     def setup(self):

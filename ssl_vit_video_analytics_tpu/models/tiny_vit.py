@@ -120,3 +120,39 @@ def tiny_vit_21m_variant(use_checkpoint: bool = True, dtype=jnp.float32,
     """dims [96,192,384,576] / depths [2,2,6,2] / heads [3,6,12,18]
     (ref: src/models/tiny_vit.py:188-191)."""
     return TinyViT(use_checkpoint=use_checkpoint, dtype=dtype, attn_impl=attn_impl, **kwargs)
+
+
+class TinyViTBackbone(nn.Module):
+    """(frames, train) -> (feat_map, emb) adapter over the TinyViT encoder so
+    VideoClassifier can ride a pipeline-B/C MAE-pretrained checkpoint.
+
+    The reference finetune only ever consumes MobileViT pipeline-A
+    checkpoints (ref: src/train_finetune.py:43-63) — its flagship MAE
+    pretrain feeds nothing downstream. This closes that gap: the inner
+    module is named ``encoder`` so a pipeline-B encoder-only checkpoint
+    (``params = {"encoder": ...}``, entry/train_ssl_mae.py save path) drops
+    onto ``backbone/encoder`` with an exact tree match when ``stage_limit``
+    equals the pretrain tap (3 — the MAE feature tap; 4 adds a randomly
+    initialized stage-4 on top, pipeline-C style).
+
+    The embedding is the global average pool of the final stage's feature
+    map, matching MobileViTBackbone's (feat_map, emb) contract.
+    """
+
+    stage_limit: int = 3
+    embed_dims: Sequence[int] = (96, 192, 384, 576)
+    use_checkpoint: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = TinyViT(
+            embed_dims=tuple(self.embed_dims),
+            use_checkpoint=self.use_checkpoint,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="encoder",
+        )(x, train=train, stage_limit=self.stage_limit)
+        emb = jnp.mean(feat, axis=(1, 2))
+        return feat, emb

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import VideoClassifier, MobileViTBackbone
+from ..models import VideoClassifier, MobileViTBackbone, TinyViTBackbone
 from ..ops.preprocess import normalize_clip
 from ..utils.metrics import topk_accuracy
 from .state import TrainState, make_optimizer, apply_updates
@@ -33,9 +33,21 @@ def resolve_mode(ft_cfg: dict, cli_mode: str | None) -> str:
 
 
 def build_model(num_classes: int, embed_dim: int, dtype=jnp.float32,
-                attn_impl: str | None = None) -> VideoClassifier:
-    backbone = MobileViTBackbone(embed_dim=embed_dim, dtype=dtype, attn_impl=attn_impl)
-    return VideoClassifier(backbone=backbone, num_classes=num_classes)
+                attn_impl: str | None = None, backbone: str = "mobilevit_s",
+                backbone_kwargs: dict | None = None) -> VideoClassifier:
+    """``backbone``: "mobilevit_s" (reference parity — pipeline-A SSL
+    checkpoints) or "tinyvit" (MAE-pretrained transfer — pipeline-B/C
+    encoder checkpoints; embed dim is fixed by the tapped stage, so
+    ``embed_dim`` is ignored there)."""
+    kw = dict(backbone_kwargs or {})
+    if backbone in ("tinyvit", "tinyvit_21m"):
+        bb = TinyViTBackbone(dtype=dtype, attn_impl=attn_impl, **kw)
+    elif backbone in ("mobilevit_s", "mobilevit"):
+        bb = MobileViTBackbone(embed_dim=embed_dim, dtype=dtype,
+                               attn_impl=attn_impl, **kw)
+    else:
+        raise ValueError(f"[ERROR] Unknown backbone={backbone}")
+    return VideoClassifier(backbone=bb, num_classes=num_classes)
 
 
 def init_model(model: VideoClassifier, rng, clip_shape) -> dict:
@@ -45,17 +57,37 @@ def init_model(model: VideoClassifier, rng, clip_shape) -> dict:
 
 def load_pretrained_ssl(variables: dict, ssl_variables: dict) -> dict:
     """Remap an SSL checkpoint's ``encoder`` subtree onto the classifier's
-    ``backbone`` (ref: src/train_finetune.py:43-63 remaps encoder.* keys)."""
+    ``backbone`` (ref: src/train_finetune.py:43-63 remaps encoder.* keys).
+
+    Handles both checkpoint families:
+      pipeline A:  encoder IS the MobileViT backbone -> drop onto ``backbone``
+      pipeline B/C: encoder is a TinyViT nested as ``backbone/encoder`` in
+        the TinyViTBackbone adapter -> drop one level deeper. A stage_limit=3
+        classifier matches the pipeline-B encoder tree exactly (the MAE init
+        only ever traced stages 0-2, entry/train_ssl_mae.py save path).
+    """
     out = jax.tree.map(lambda x: x, variables)  # shallow copy via rebuild
     for col in ("params", "batch_stats"):
         src = ssl_variables.get(col, {}).get("encoder")
-        if src is not None and col in out and "backbone" in out[col]:
-            tgt = out[col]["backbone"]
-            chex_ok = jax.tree.structure(tgt) == jax.tree.structure(src)
-            if not chex_ok:
-                raise ValueError(
-                    f"[ERROR] SSL encoder/{col} tree does not match classifier backbone")
-            out[col]["backbone"] = jax.tree.map(lambda t, s: s.astype(t.dtype), tgt, src)
+        if src is None or col not in out or "backbone" not in out[col]:
+            continue
+        tgt = out[col]["backbone"]
+        nested = isinstance(tgt, dict) and set(tgt.keys()) == {"encoder"}
+        if nested:
+            tgt = tgt["encoder"]
+        if jax.tree.structure(tgt) != jax.tree.structure(src):
+            raise ValueError(
+                f"[ERROR] SSL encoder/{col} tree does not match classifier backbone")
+        bad = [s.shape for t, s in zip(jax.tree.leaves(tgt), jax.tree.leaves(src))
+               if t.shape != s.shape]
+        if bad:
+            # same module names but different widths would load silently and
+            # crash (or worse, broadcast) later — fail at the checkpoint
+            raise ValueError(
+                f"[ERROR] SSL encoder/{col} leaf shapes do not match classifier "
+                f"backbone ({len(bad)} mismatched leaves, e.g. {bad[0]})")
+        loaded = jax.tree.map(lambda t, s: s.astype(t.dtype), tgt, src)
+        out[col]["backbone"] = {"encoder": loaded} if nested else loaded
     return out
 
 

@@ -61,6 +61,11 @@ def make_pixel_mae_step(
         (loss, (pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = apply_updates(state, grads, tx, new_batch_stats=new_bs)
         pred_std = jnp.std(pred.astype(jnp.float32))
+        # grad_norm is the PER-MICROBATCH global norm: with
+        # training.accumulation_steps > 1 (optax.MultiSteps) it is NOT the
+        # norm of the accumulated update an opted-in clip would see — read it
+        # as a per-step health signal (inf/collapse detection), not the
+        # clipped quantity.
         metrics = {"loss": loss, "pred_std": pred_std,
                    "grad_norm": optax.global_norm(grads),
                    "collapse": (pred_std < COLLAPSE_STD_THRESHOLD).astype(jnp.float32)}

@@ -4,6 +4,12 @@ This environment's sitecustomize imports jax and registers the axon TPU
 plugin in EVERY python process, so env vars set here are too late — instead
 we flip jax.config after import but before the backend initializes (backends
 are created lazily on first device use).
+
+Known flake: the shard_map federated tests can die with a bare
+"Fatal Python error:" when another process is concurrently attached to the
+axon tunnel. They run process-isolated with one crash-retry
+(tests/test_federated.py _run_isolated) so a contended suite run stays
+green; a genuine failure still fails on the first child run.
 """
 import os
 

@@ -82,6 +82,45 @@ def test_run_dynamic_device_resident_matches_host(synth_data, tmp_path):
         assert host[0][col] == dev[0][col], col
 
 
+def test_chunked_store_matches_host_path(synth_data):
+    """ChunkedDeviceClipStore (shard rotation for >HBM splits): batch order,
+    contents, tails and valid masks must be BIT-IDENTICAL to the host path —
+    the epoch permutation is the host path's own, cut into shards."""
+    from ssl_vit_video_analytics_tpu.data.device_store import ChunkedDeviceClipStore
+
+    for mode in ("ssl", "supervised"):
+        ds = ClipDataset(synth_data["train"], mode=mode, clip_len=4, stride=2,
+                         image_size=32, seed=3, verbose=False)
+        clip_bytes = 4 * 32 * 32 * 3
+        # force several shards: room for ~2 batches of 3 per shard
+        store = ChunkedDeviceClipStore(ds, shard_bytes=6 * clip_bytes,
+                                       batch_size=3, log=lambda *_: None)
+        assert store.num_shards >= 2, "fixture too small to exercise rotation"
+        for shuffle, drop_last, epoch in ((True, True, 1), (False, False, 2),
+                                          (True, False, 3)):
+            kw = dict(shuffle=shuffle, seed=3, epoch=epoch, drop_last=drop_last)
+            _assert_batches_equal(
+                _host_batches(ds, 3, **kw),
+                list(store.epoch_batches(3, **kw)))
+
+
+def test_maybe_device_resident_chunked_gating(synth_data):
+    from ssl_vit_video_analytics_tpu.data.device_store import ChunkedDeviceClipStore
+    from ssl_vit_video_analytics_tpu.entry import common
+
+    ds = ClipDataset(synth_data["train"], mode="supervised", clip_len=4,
+                     stride=2, image_size=32, seed=0, verbose=False)
+    cfg = {"dataset": {"device_resident": "chunked",
+                       "resident_shard_bytes": 8 * 4 * 32 * 32 * 3},
+           "training": {"batch_size": 4}}
+    store = common.maybe_device_resident(cfg, ds, log=lambda *_: None)
+    assert isinstance(store, ChunkedDeviceClipStore)
+    got = list(common.epoch_batches(store, 4, shuffle=True, seed=0, epoch=1))
+    _assert_batches_equal(
+        _host_batches(ds, 4, shuffle=True, seed=0, epoch=1, drop_last=True),
+        got)
+
+
 def test_maybe_device_resident_gating(synth_data):
     from ssl_vit_video_analytics_tpu.entry import common
 

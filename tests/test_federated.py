@@ -1,11 +1,47 @@
 """Federated core: aggregation dtype rules, client selection parity,
-mesh-parallel round execution on the 8-device CPU mesh."""
+mesh-parallel round execution on the 8-device CPU mesh.
+
+Flake hardening (VERDICT r3 #7): the two shard_map round tests are the ones
+that intermittently die with a bare "Fatal Python error:" when ANOTHER
+process is concurrently attached to the axon tunnel (CLAUDE.md; 3/3 isolated
+runs pass). The crash kills the whole pytest process, so the only robust
+retry is process isolation: each runs in a child pytest (its ``_inner``
+variant, skipped in normal collection) with ONE retry on the crash
+signature. Genuine assertion failures are NOT retried — they propagate from
+the first child run.
+"""
+import os
 import random
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+_INNER = os.environ.get("FED_SHARDMAP_INNER") == "1"
+_FLAKE_SIG = "Fatal Python error"
+
+
+def _run_isolated(inner_test: str):
+    cmd = [sys.executable, "-m", "pytest", "-q", "-x", "-p", "no:cacheprovider",
+           f"{os.path.abspath(__file__)}::{inner_test}"]
+    env = {**os.environ, "FED_SHARDMAP_INNER": "1"}
+    for attempt in (1, 2):
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=600)
+        if r.returncode == 0:
+            return
+        crashed = r.returncode < 0 or _FLAKE_SIG in (r.stdout + r.stderr)
+        if crashed and attempt == 1:
+            print(f"[flake] {inner_test} crashed (tunnel contention?); "
+                  "retrying once", flush=True)
+            continue
+        raise AssertionError(
+            f"{inner_test} failed (rc={r.returncode}, attempt {attempt}):\n"
+            f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
 
 from ssl_vit_video_analytics_tpu.federated import (
     fedavg_aggregate, broadcast_tree, select_clients,
@@ -46,6 +82,15 @@ def test_comm_cost_formulas():
 
 
 def test_parallel_fedavg_round_on_mesh():
+    _run_isolated("test_parallel_fedavg_round_on_mesh_inner")
+
+
+def test_fedavg_round_pads_ragged_client_count():
+    _run_isolated("test_fedavg_round_pads_ragged_client_count_inner")
+
+
+@pytest.mark.skipif(not _INNER, reason="runs via the isolated wrapper above")
+def test_parallel_fedavg_round_on_mesh_inner():
     n_dev = jax.device_count()
     mesh = make_mesh({"client": n_dev})
     N, S, B, T, sz = n_dev, 2, 2, 2, 32
@@ -78,7 +123,8 @@ def test_parallel_fedavg_round_on_mesh():
     assert p1.shape == p0.shape
 
 
-def test_fedavg_round_pads_ragged_client_count():
+@pytest.mark.skipif(not _INNER, reason="runs via the isolated wrapper above")
+def test_fedavg_round_pads_ragged_client_count_inner():
     """client_fraction < 1 can select any m; dummy-client padding makes the
     stacked dim shard over the full mesh axis (ADVICE r1: m=5 on 8 devices)."""
     n_dev = jax.device_count()
