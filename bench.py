@@ -48,6 +48,12 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     remat = os.environ.get("BENCH_REMAT", "none")  # all | early | none
+    # d=128 decoder repack A/B (VERDICT r3 #4b): 6 heads of 64 -> 3 of 128
+    # contracts score/AV matmuls over the full MXU depth. A MODEL change
+    # (different head grouping), so it is an opt-in probe knob, not default.
+    dh = os.environ.get("BENCH_DECODER_HEADS")
+    if dh:
+        cfg["model"]["decoder_num_heads"] = int(dh)
     cfg["model"]["use_checkpoint"] = remat != "none"
     if remat == "early":
         cfg["model"]["remat_stages"] = [0, 1]

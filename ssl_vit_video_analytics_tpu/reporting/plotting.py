@@ -186,6 +186,41 @@ def fig20_joint_pareto(early_csv: str, feature_csv: str, fed_csv: str,
     return out_path
 
 
+def fig_label_fraction_sweep(summary_csv: str, out_path: str,
+                             chance: float | None = None) -> str | None:
+    """SSL-transfer label-efficiency sweep (VERDICT r3 #1): best val top-1
+    vs labeled fraction, one line per (backbone, finetune mode). Reads the
+    sweep summary CSV (scripts/make_sweep_artifacts.py) with columns
+    backbone,label_fraction,mode,best_top1."""
+    if plt is None or not os.path.exists(summary_csv):
+        return None
+    rows = read_csv_dicts(summary_csv)
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    series = sorted({(r["backbone"], r["mode"]) for r in rows})
+    markers = {"ft_random": "o", "ft_ssl": "s", "two_stage": "^",
+               "linear_probe": "v"}
+    for backbone, mode in series:
+        sub = sorted((r for r in rows
+                      if r["backbone"] == backbone and r["mode"] == mode),
+                     key=lambda r: float(r["label_fraction"]))
+        ax.plot(_floats(sub, "label_fraction"), _floats(sub, "best_top1"),
+                marker=markers.get(mode, "o"),
+                linestyle="-" if backbone.startswith("mobilevit") else "--",
+                label=f"{backbone}/{mode}")
+    if chance is not None:
+        ax.axhline(chance, color="gray", linestyle=":", linewidth=1,
+                   label=f"chance ({chance:.3f})")
+    ax.set_xlabel("labeled fraction of train split")
+    ax.set_ylabel("best val top-1 (equal budget)")
+    ax.set_title("SSL-transfer label-efficiency sweep")
+    ax.set_xscale("log")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def fig_ssl_dynamics(ssl_metrics_csv: str, out_path: str) -> str | None:
     """2x2 SSL training dynamics from the per-epoch metrics CSV — the
     CSV-driven version of the reference's hardcoded figure
