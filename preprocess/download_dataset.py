@@ -107,7 +107,7 @@ def synthetic_fallback(root: str, name: str) -> None:
 
     dest = os.path.join(root, name)
     splits = make_hard_synthetic_dataset(
-        dest, num_classes=8, videos_per_class=12, num_frames=16,
+        dest, num_classes=4, videos_per_class=6, num_frames=16,
         image_size=112, seed=0)
     log(f"synthetic standin ready under {dest}: {splits}")
 

@@ -98,3 +98,30 @@ def test_video_backend_reads_avi_directly(video_tree, tmp_path):
     clip = ds.get_clip(0)
     assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.uint8
     assert clip.max() > 0  # actually decoded content, not zero padding
+
+
+def test_download_dataset_offline_paths(tmp_path):
+    """download_dataset.py (counterpart of ref download_dataset.ipynb) must
+    be no-network-tolerant: --list works, a missing artifact without network
+    fails with instructions (rc=1), --synthetic-fallback still produces a
+    runnable dataset, and an already-extracted tree short-circuits."""
+    r = _run_cli("preprocess/download_dataset.py", ["--list"])
+    assert r.returncode == 0 and "UCF101_frames" in r.stdout
+
+    root = str(tmp_path / "data")
+    r = _run_cli("preprocess/download_dataset.py",
+                 ["--dataset", "UCF101_frames", "--root", root])
+    assert r.returncode == 1
+    assert "Manual path" in r.stdout and "drive.google.com" in r.stdout
+
+    r = _run_cli("preprocess/download_dataset.py",
+                 ["--dataset", "UCF101_frames", "--root", root,
+                  "--synthetic-fallback"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    dest = os.path.join(root, "UCF101_frames")
+    assert os.path.isdir(os.path.join(dest, "splits"))
+
+    # extracted tree present -> nothing to do, rc=0
+    r = _run_cli("preprocess/download_dataset.py",
+                 ["--dataset", "UCF101_frames", "--root", root])
+    assert r.returncode == 0 and "already extracted" in r.stdout
