@@ -88,6 +88,15 @@ def main():
     p.add_argument("--nuisance", type=float, default=1.0,
                    help="fixture noise/appearance nuisance level; lower "
                         "values give visually cleaner reconstructions")
+    p.add_argument("--appearance", type=float, default=0.0,
+                   help="fixture appearance-signal strength (classes partly "
+                        "appearance-coded; the regime where PER-FRAME MAE "
+                        "features can transfer — the encoder never sees "
+                        "cross-frame info, so motion-only classes are "
+                        "untransferable by construction)")
+    p.add_argument("--motion", type=float, default=1.0,
+                   help="fixture motion-signal strength")
+    p.add_argument("--data_seed", type=int, default=0)
     p.add_argument("--log_interval", type=int, default=1,
                    help="step-log interval; every fetch costs a tunnel "
                         "roundtrip (~35%% throughput at 1), so long runs "
@@ -120,7 +129,9 @@ def main():
     t0 = time.time()
     splits = make_hard_synthetic_dataset(
         args.data, num_classes=args.classes, videos_per_class=args.clips,
-        num_frames=T, image_size=S, seed=0, nuisance=args.nuisance)
+        num_frames=T, image_size=S, seed=args.data_seed,
+        nuisance=args.nuisance, appearance_signal=args.appearance,
+        motion_signal=args.motion)
     print(f"[mae-evidence] dataset ready ({time.time() - t0:.0f}s)", flush=True)
 
     cfg = load_config("configs/ssl_mae.yaml", base="configs/base.yaml")
