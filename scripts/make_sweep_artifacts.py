@@ -30,6 +30,9 @@ def main():
     p.add_argument("--root", default="results/sweep_r4")
     p.add_argument("--docs", default="docs/examples")
     p.add_argument("--chance", type=float, default=1.0 / 24)
+    p.add_argument("--name", default="ssl_transfer_sweep",
+                   help="basename for the docs copies (e.g. "
+                        "ssl_transfer_sweep_app for the appearance fixture)")
     p.add_argument("--extra", action="append", default=[],
                    help="family:frac:path of an earlier campaign_summary.json "
                         "to merge, e.g. A:1.0:results/ssl_transfer_v3_noclip/"
@@ -70,11 +73,11 @@ def main():
     print("csv:", csv_path)
     print("figure:", fig)
 
-    csv_dst = os.path.join(args.docs, "csv", "ssl_transfer_sweep.csv")
+    csv_dst = os.path.join(args.docs, "csv", args.name + ".csv")
     shutil.copyfile(csv_path, csv_dst)
     if fig:
         shutil.copyfile(fig, os.path.join(args.docs, "figures",
-                                          os.path.basename(fig)))
+                                          "fig_" + args.name + ".png"))
     print("docs copies refreshed")
     return 0
 
