@@ -231,8 +231,24 @@ class MBConv(nn.Module):
         y = ConvBNAct(mid, kernel=3, stride=self.stride, groups=mid, act=False, dtype=self.dtype)(y, train)
         y = nn.gelu(y)
         y = SELayer(dtype=self.dtype)(y)
+        # Zero-init of the final BN scale is the standard residual-branch
+        # trick (block starts as identity). The reference applies it
+        # UNCONDITIONALLY (ref: src/models/tiny_vit.py:49 bn_weight_init=0,
+        # :152 stride-2 downsample) — but on a non-residual block (stride-2
+        # downsample / channel change) it is a structural gradient trap, not
+        # an init trick: the block's output is exactly 0 (zero scale, zero
+        # bias), so the NEXT zero-scale block sees a constant-zero input
+        # (normalized x̂ ≡ 0 ⇒ its scale gradient is exactly 0), while every
+        # parameter in between only receives gradient THROUGH that
+        # downstream zero scale (also exactly 0). The two dead blocks
+        # mutually lock and the network below the first non-residual
+        # zero-init block stays input-independent forever — verified
+        # empirically: after 60 epochs of MAE pretraining all four zero-init
+        # scales were still bit-exact 0.0 and the downstream BN running vars
+        # were exactly 0. We therefore zero-init ONLY the residual blocks.
+        scale_init = nn.initializers.zeros if use_res else nn.initializers.ones
         y = ConvBNAct(self.features, kernel=1, act=False, dtype=self.dtype,
-                      bn_scale_init=nn.initializers.zeros)(y, train)
+                      bn_scale_init=scale_init)(y, train)
         if use_res:
             y = DropPath(self.drop_path)(y, deterministic=not train)
             return x + y

@@ -48,6 +48,20 @@ def save_checkpoint(ckpt_dir: str, name: str, tree: Any, meta: dict | None = Non
     return path
 
 
+def _restore_numpy(path: str) -> Any:
+    """Restore every leaf as a host numpy array, ignoring saved shardings."""
+    import numpy as np
+
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "tree", None)
+    if tree is None:  # orbax >= 0.11 wraps item metadata in StepMetadata
+        tree = meta.item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+
 def restore_checkpoint(path: str, target: Any | None = None) -> Any:
     """Restore a PyTree; ``target`` provides structure/shardings if given.
 
@@ -56,11 +70,19 @@ def restore_checkpoint(path: str, target: Any | None = None) -> Any:
     """
     ckptr = _ckptr()
     path = os.path.abspath(path)
-    if target is not None:
-        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        out = ckptr.restore(path, template)
-    else:
-        out = ckptr.restore(path)
+    try:
+        if target is not None:
+            template = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+            out = ckptr.restore(path, template)
+        else:
+            out = ckptr.restore(path)
+    except ValueError as e:
+        if "not found in jax.local_devices" not in str(e):
+            raise
+        # Checkpoint was written under a device topology that is absent here
+        # (e.g. TPU-saved, CPU-restored for offline analysis). Fall back to a
+        # host-memory numpy restore — callers device_put as needed.
+        out = _restore_numpy(path)
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path) and isinstance(out, dict):
         import json

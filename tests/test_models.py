@@ -147,3 +147,37 @@ def test_stem_conv_s2d_matches_dense_conv():
     np.testing.assert_allclose(np.asarray(gm[0]["kernel"]),
                                np.asarray(gr[0]["kernel"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gm[1]), np.asarray(gr[1]), atol=1e-5)
+
+
+def test_tinyvit_not_dead_at_init():
+    """Regression: the reference zero-inits the final MBConv BN scale even on
+    NON-residual (stride-2 downsample) blocks (ref: src/models/tiny_vit.py:49,
+    :152), which makes the block output exactly 0 and deadlocks gradients —
+    the encoder stays input-independent forever (verified on a 60-epoch MAE
+    checkpoint: all four zero-init scales still bit-exact 0.0). We zero-init
+    only residual branches; this pins (a) input-dependent features at init,
+    (b) gradient actually reaching the stem through all downsample blocks."""
+    model = small_tinyvit()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 112, 112, 3)), jnp.float32)
+    vars_ = jinit(model, jax.random.key(0), x, stage_limit=3)
+
+    out = japply(model, vars_, x, stage_limit=3)
+    emb = np.asarray(out).reshape(3, -1)
+    # cross-input variation at init (dead network gives bit-identical rows)
+    assert np.abs(emb - emb.mean(axis=0)).max() > 1e-6
+
+    def loss(params):
+        y = model.apply({"params": params, "batch_stats": vars_["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(1)},
+                        stage_limit=3)[0]
+        return jnp.sum(y * y)
+
+    grads = jax.jit(jax.grad(loss))(vars_["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    dead = [jax.tree_util.keystr(p) for p, g in flat
+            if float(jnp.abs(g).max()) == 0.0]
+    # stem + every stage's downsample must receive gradient; residual-branch
+    # zero-init scales legitimately give SOME zero grads elsewhere at init
+    assert not any("patch_embed" in p or "/down/" in p for p in dead), dead

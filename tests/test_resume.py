@@ -82,3 +82,19 @@ def test_legacy_checkpoint_resume_warns_but_runs(synth_data, tmp_path):
                         resume=True)
     assert out["steps"] >= 4
     assert any("legacy checkpoint" in m for m in msgs)
+
+
+def test_restore_numpy_fallback(tmp_path):
+    """_restore_numpy (used when a checkpoint's saved device topology is
+    absent, e.g. TPU-saved -> CPU-restored for offline analysis) returns the
+    same values as the normal path, as host numpy arrays."""
+    from ssl_vit_video_analytics_tpu.utils.checkpoint import (
+        _restore_numpy, save_checkpoint)
+
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                       "b": np.ones((3,), np.float32)}}
+    path = save_checkpoint(str(tmp_path), "ck", tree)
+    out = _restore_numpy(path)
+    np.testing.assert_array_equal(out["params"]["w"], tree["params"]["w"])
+    np.testing.assert_array_equal(out["params"]["b"], tree["params"]["b"])
+    assert isinstance(out["params"]["w"], np.ndarray)
