@@ -18,6 +18,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import ssl_vit_video_analytics_tpu  # noqa: F401  (flips jax to CPU when JAX_PLATFORM_NAME=cpu — works offline)
 
 import jax
 import jax.numpy as jnp

@@ -29,6 +29,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import ssl_vit_video_analytics_tpu  # noqa: F401  (flips jax to CPU when JAX_PLATFORM_NAME=cpu — works offline)
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,10 @@ def main():
         make_pixel_mae_step, wrap_accum_and_skip)
     from ssl_vit_video_analytics_tpu.train.state import (
         create_train_state, make_optimizer, warmup_cosine_schedule)
+
+    if jax.default_backend() != "tpu":
+        raise SystemExit("chip-only probe: production 112^2 shapes are not "
+                         "meaningful (or tractable) on the 1-core CPU host")
 
     B, T, S = args.batch, 16, 112
     paths = sorted(glob.glob(os.path.join(args.data, "class*/vid*/packed_112.npy")))[:64]

@@ -26,6 +26,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import ssl_vit_video_analytics_tpu  # noqa: F401  (flips jax to CPU when JAX_PLATFORM_NAME=cpu — works offline)
 
 import jax
 import jax.numpy as jnp
@@ -45,26 +46,39 @@ SHAPES = [
 ]
 
 
+def _sync(out):
+    # float() forces a real sync through the axon tunnel; index only when
+    # the leaf has rank (the loss leaf is a 0-dim scalar)
+    leaf = jax.tree.leaves(out)[0]
+    if leaf.ndim:
+        leaf = leaf[..., 0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timed(fn, *args, iters=20, warmup=3):
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
-    # float() forces a real sync through the axon tunnel
-    float(jnp.sum(jax.tree.leaves(out)[0][..., 0].astype(jnp.float32)))
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(jnp.sum(jax.tree.leaves(out)[0][..., 0].astype(jnp.float32)))
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 def main():
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    shapes, iters = SHAPES, 20
+    if not on_tpu:  # CPU smoke: tiny shapes, just prove the arms run
+        shapes = [("smoke", 2, 128, 32, 2, 16, 1)]
+        iters = 2
     rng = np.random.default_rng(0)
     total_ceiling = 0.0
     print(f"backend={jax.default_backend()}  (subtract ~4 ms/line tunnel "
           "dispatch overhead)")
-    for name, B, L, C, H, d, nblocks in SHAPES:
+    for name, B, L, C, H, d, nblocks in shapes:
         HD = H * d
         x = jnp.asarray(rng.standard_normal((B, L, C)) * 0.02, dtype)
         w = jnp.asarray(rng.standard_normal((C, 3 * HD)) * 0.02, dtype)
@@ -84,8 +98,8 @@ def main():
 
         attn_vg = jax.jit(jax.value_and_grad(attn_loss, argnums=(0, 1)))
 
-        t_qkv = timed(qkv_vg, x, w, b)
-        t_attn = timed(attn_vg, x, w, b)
+        t_qkv = timed(qkv_vg, x, w, b, iters=iters)
+        t_attn = timed(attn_vg, x, w, b, iters=iters)
         # fwd + dx + dw matmuls = 3x fwd flops
         flops = 3 * 2.0 * B * L * C * 3 * HD
         t_roof = flops / SUSTAINED_BF16 * 1e3
