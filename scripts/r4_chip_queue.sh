@@ -28,6 +28,17 @@ timeout 5400 python scripts/ssl_transfer_campaign.py \
     --out results/ssl_transfer_v3_noclip --skip_ssl --modes "" \
     > results/privacy_ext.log 2>&1
 cp results/ssl_transfer_v3_noclip/privacy/feature_privacy.csv docs/examples/csv/
+# regenerate fig18/fig20 from the refreshed grid (CSV-driven pipeline)
+timeout 600 env JAX_PLATFORM_NAME=cpu python -m ssl_vit_video_analytics_tpu.entry.plotting \
+    --config configs/plotting.yaml \
+    --set inputs.privacy_feature_csv=docs/examples/csv/feature_privacy.csv \
+    --set inputs.dynamic_early_exit_csv=docs/examples/csv/early_exit_results.csv \
+    --set inputs.dynamic_frame_gating_csv=docs/examples/csv/frame_gating_results.csv \
+    --set inputs.privacy_visual_csv=docs/examples/csv/visual_privacy.csv \
+    --set inputs.federated_csv=docs/examples/csv/fed_summary.csv \
+    --set outputs.figures_dir=docs/examples/figures \
+    --set outputs.summary_csv=docs/examples/csv/summary.csv \
+    > results/replot_privacy.log 2>&1 || true
 
 # ---- 2. pipeline-A at the reference 200-epoch horizon (VERDICT r3 #5) -----
 stamp ssl_a_200
