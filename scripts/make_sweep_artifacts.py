@@ -37,6 +37,11 @@ def main():
                    help="family:frac:path of an earlier campaign_summary.json "
                         "to merge, e.g. A:1.0:results/ssl_transfer_v3_noclip/"
                         "campaign_summary.json")
+    p.add_argument("--seed_csv", default=None,
+                   help="an earlier sweep CSV whose rows are kept for any "
+                        "backbone family NOT present under --root (e.g. the "
+                        "committed docs CSV's pipeline-A rows when only the "
+                        "B cells were re-run)")
     args = p.parse_args()
 
     rows = []
@@ -59,6 +64,18 @@ def main():
             rows.append({"backbone": BACKBONE.get(family, family),
                          "label_fraction": float(frac), "mode": mode,
                          "best_top1": round(float(top1), 6)})
+    if args.seed_csv:
+        import csv as _csv
+        fresh = {r["backbone"] for r in rows}
+        with open(args.seed_csv) as f:
+            kept = [r for r in _csv.DictReader(f) if r["backbone"] not in fresh]
+        for r in kept:
+            rows.append({"backbone": r["backbone"],
+                         "label_fraction": float(r["label_fraction"]),
+                         "mode": r["mode"],
+                         "best_top1": float(r["best_top1"])})
+        print(f"seeded {len(kept)} rows from {args.seed_csv} "
+              f"(families not re-run under {args.root})")
     if not rows:
         print("no campaign_summary.json found under", args.root)
         return 1
