@@ -72,6 +72,23 @@ def main():
           f"({xla_flops / B:.4g}/clip)")
     print(f"analytic train flops/clip:    {analytic:.4g}")
     print(f"ratio xla/analytic:           {xla_flops / B / analytic:.3f}")
+    # Reconciliation: on TPU the attention score/value matmuls live inside
+    # the pallas flash-attention CUSTOM CALL, which XLA's cost_analysis
+    # counts as 0 flops. The analytic model's attention share is the
+    # 4*tokens^2*dim term per tblock (utils/metrics._tblock_flops), x3 for
+    # fwd+bwd — subtract it and the two counts should agree closely.
+    mk = pipeline_b_model_kwargs(cfg)
+    d1, d2 = mk["embed_dims"][1], mk["embed_dims"][2]
+    dd, ddepth = mk["decoder_embed_dim"], mk["decoder_depth"]
+    r1, r2 = S // 4, S // 8
+    attn_fwd = (2 * 4.0 * (r1 * r1) ** 2 * d1 * T        # stage-2 x2/frame
+                + 6 * 4.0 * (r2 * r2) ** 2 * d2 * T      # stage-3 x6/frame
+                + ddepth * 4.0 * (T * r2 * r2) ** 2 * dd)  # decoder/clip
+    non_attn = analytic - 3.0 * attn_fwd
+    print(f"analytic attention (pallas-resident) share: {3 * attn_fwd:.4g}"
+          f"/clip; analytic NON-attention {non_attn:.4g}/clip "
+          f"-> ratio vs XLA {non_attn / (xla_flops / B):.3f} "
+          "(~1.0 = denominator validated; XLA excludes custom-call flops)")
     if np.isfinite(xla_bytes):
         print(f"XLA bytes accessed/step:      {xla_bytes / 1e9:.2f} GB "
               f"(arithmetic intensity {xla_flops / xla_bytes:.1f} flop/B)")

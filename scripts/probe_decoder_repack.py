@@ -40,7 +40,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=60)
-    p.add_argument("--data", default="/tmp/mae_lown/data")
+    p.add_argument("--data", default="/tmp/ssl_campaign/data",
+                   help="hard-fixture root (scripts/mae_evidence.py default)")
     args = p.parse_args()
 
     from ssl_vit_video_analytics_tpu.entry.train_ssl_mae import build_model

@@ -99,10 +99,16 @@ class ChunkedDeviceClipStore:
     Pipelining: while shard k trains, shard k+1 is assembled on a background
     thread and its (async) upload dispatched — host assembly (~800 clips/s
     warm) stays hidden behind device compute (~70 clips/s). Evicted shards
-    are explicitly ``.delete()``d: that frees HBM and releases the axon
-    tunnel client's pinned host staging for the buffer, keeping host RSS
-    bounded by ~2 shards instead of growing with transferred bytes
-    (scripts/probe_ingest_rss.py measures this on chip).
+    are explicitly ``.delete()``d, which bounds DEVICE memory at ~2 resident
+    shards. Measured caveat (scripts/probe_ingest_rss.py, round 4): under
+    the axon tunnel, ``.delete()`` does NOT release the tunnel client's
+    host staging copy — the client leaks per transferred byte on every
+    path, so host RSS still grows ~1x shard bytes per rotation (303 MB
+    leaked per 308 MB-transfer epoch). On a real TPU host there is no such
+    leak. For multi-hour >HBM runs under axon, segment the run into fresh
+    processes via exact checkpoint-resume (experiments/run_segmented.sh);
+    the win that remains here regardless is bounded HBM + on-device
+    per-step gathers + upload hidden behind compute.
 
     The recurring host->device traffic is one shard per rotation instead of
     one batch per step; the per-step path stays on-device gathers like

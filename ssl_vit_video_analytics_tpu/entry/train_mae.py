@@ -141,6 +141,12 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
     save_every = int(tr.get("save_every", 5))
     keep_last = int(tr.get("keep_last", 5))
     vis_every = int(mae.get("vis_every", 0))
+    # Segment cap: exit cleanly (with a checkpoint) after N epochs so a
+    # wrapper can run the job as a chain of fresh processes. Motivation: the
+    # axon tunnel client leaks host RSS per transferred byte unconditionally
+    # (scripts/probe_ingest_rss.py) — for >HBM splits the leak is bounded
+    # only by process lifetime. See experiments/run_segmented.sh.
+    max_epochs_per_run = tr.get("max_epochs_per_run")
 
     global_step = int(state.step)
     for epoch in range(start_epoch, epochs + 1):
@@ -176,7 +182,10 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
         log(f"[INFO] epoch {epoch} done in {time.perf_counter() - t_ep:.1f}s "
             + format_metrics(epoch_metrics))
 
-        if epoch % save_every == 0 or epoch == epochs:
+        hit_segment_cap = (max_epochs_per_run is not None
+                           and epoch - start_epoch + 1 >= int(max_epochs_per_run)
+                           and epoch < epochs)
+        if epoch % save_every == 0 or epoch == epochs or hit_segment_cap:
             save_checkpoint(out_dir, f"ckpt_epoch_{epoch}", {
                 "step": int(state.step),
                 "params": state.params, "batch_stats": state.batch_stats,
@@ -192,10 +201,15 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
                              ratio, str(mae.get("mask_mode", "tube")), dtype)
             except Exception as e:  # vis must never kill training
                 log(f"[WARN] vis failed: {type(e).__name__}: {e}")
+        if hit_segment_cap:
+            log(f"[INFO] segment cap ({max_epochs_per_run} epochs/run) hit at "
+                f"epoch {epoch}/{epochs}; exiting — relaunch to resume")
+            return {"best": best, "steps": global_step, "completed": False,
+                    "stopped_at_epoch": epoch}
         if max_steps is not None and global_step >= max_steps:
             break
 
-    return {"best": best, "steps": global_step}
+    return {"best": best, "steps": global_step, "completed": True}
 
 
 def main():
