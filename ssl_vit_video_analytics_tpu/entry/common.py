@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +155,20 @@ def setup_data_parallel(cfg: dict, batch_size: int, log=print):
     return mesh, dsh, place_state
 
 
-def setup_parallelism(cfg: dict, batch_size: int, log=print):
+class ParallelRuntime(NamedTuple):
+    """What setup_parallelism resolved. ``pp_mesh``/``pp_microbatches`` are
+    set only when pipeline parallelism is active (pipeline-B decoder)."""
+
+    mesh: object
+    batch_sharding: object
+    place_state: object
+    sp_on: bool
+    pp_mesh: object = None
+    pp_microbatches: int | None = None
+
+
+def setup_parallelism(cfg: dict, batch_size: int, log=print,
+                      allow_pp: bool = False) -> "ParallelRuntime":
     """Full parallel runtime for the pipeline-B/C training entries.
 
     User-reachable config knobs (SURVEY §5.7/§5.8):
@@ -169,8 +183,16 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print):
                                axis (parallel/sp.py): clip sharded over T,
                                K/V all-gathered over ICI. The long-clip
                                regime; exclusive with model_parallel.
+      device.pipeline_parallel: N — GPipe pipeline over the decoder's block
+                               stack (parallel/pp.py): stages hold
+                               decoder_depth/N blocks each, microbatches
+                               stream via ICI ppermute. Pipeline-B only
+                               (``allow_pp``); decoder_depth must divide by
+                               N. device.pp_microbatches tunes the bubble
+                               (default N).
 
-    Returns (mesh, batch_sharding, place_state, sp_on).
+    Returns a ParallelRuntime (mesh, batch_sharding, place_state, sp_on,
+    pp_mesh, pp_microbatches).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..parallel.mesh import make_mesh
@@ -180,6 +202,31 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print):
     sp_on = bool(cfg.get("model", {}).get("sequence_parallel", False)
                  or dev_cfg.get("sequence_parallel", False))
     tp = int(dev_cfg.get("model_parallel", 1) or 1)
+    pp = int(dev_cfg.get("pipeline_parallel", 1) or 1)
+
+    if pp > 1:
+        if not allow_pp:
+            log("[WARN] device.pipeline_parallel is only supported by the "
+                "pipeline-B entry (train_ssl_mae); ignoring")
+        elif sp_on or tp > 1:
+            log("[WARN] pipeline_parallel is exclusive with sequence_parallel"
+                "/model_parallel; ignoring pipeline_parallel")
+        elif n_dev < 2:
+            log("[WARN] pipeline_parallel requested on 1 device; ignoring")
+        else:
+            pp = min(pp, n_dev)
+            mesh = make_mesh({"pipe": pp}, devices=jax.devices()[:pp])
+            repl = NamedSharding(mesh, P())
+            n_micro = int(dev_cfg.get("pp_microbatches", pp) or pp)
+            if batch_size % n_micro:
+                raise ValueError(
+                    f"batch_size={batch_size} not divisible by "
+                    f"pp_microbatches={n_micro}")
+            log(f"[INFO] pipeline-parallel decoder over {pp} stages, "
+                f"{n_micro} microbatches: {mesh}")
+            return ParallelRuntime(
+                mesh, repl, (lambda s: jax.device_put(s, repl)), False,
+                pp_mesh=mesh, pp_microbatches=n_micro)
 
     if sp_on:
         from ..ops import attention as attn_mod
@@ -187,7 +234,7 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print):
             log("[WARN] sequence_parallel requested on 1 device; attention "
                 "falls back to the single-device kernel")
             attn_mod.set_sp_mesh(None)
-            return None, None, (lambda s: s), True
+            return ParallelRuntime(None, None, (lambda s: s), True)
         mesh = make_mesh({"seq": n_dev})
         attn_mod.set_sp_mesh(mesh, "seq")
         repl = NamedSharding(mesh, P())
@@ -195,7 +242,8 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print):
         # decoder's T*L token sequence inherit the shard; scalars replicate
         batch_sharding = {"clip": NamedSharding(mesh, P(None, "seq")), None: repl}
         log(f"[INFO] sequence-parallel over {n_dev} devices: {mesh}")
-        return mesh, batch_sharding, (lambda s: jax.device_put(s, repl)), True
+        return ParallelRuntime(mesh, batch_sharding,
+                               (lambda s: jax.device_put(s, repl)), True)
 
     if tp > 1 and n_dev > 1:
         from ..ops.attention import set_default_impl
@@ -219,10 +267,10 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print):
             log(f"[INFO] TP: {n_sh}/{n_tot} param leaves sharded over 'model'")
             return placed
 
-        return mesh, dsh, place_state, False
+        return ParallelRuntime(mesh, dsh, place_state, False)
 
     mesh, dsh, place_state = setup_data_parallel(cfg, batch_size, log)
-    return mesh, dsh, place_state, False
+    return ParallelRuntime(mesh, dsh, place_state, False)
 
 
 def make_logger(cfg: dict, name: str) -> Logger:

@@ -69,7 +69,7 @@ def run(cfg: dict, log=print, max_steps: int | None = None, resume: bool = True)
 
     # Parallel runtime BEFORE model build: sequence_parallel selects the
     # decoder's "sp" attention impl (same knobs as train_ssl_mae).
-    mesh, batch_sharding, place_state, sp_on = common.setup_parallelism(cfg, B, log)
+    mesh, batch_sharding, place_state, sp_on = common.setup_parallelism(cfg, B, log)[:4]
     ds = common.maybe_device_resident(cfg, ds, log, sharding=batch_sharding)
     model = build_model(cfg, dtype, decoder_attn_impl="sp" if sp_on else None)
     clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)

@@ -76,10 +76,17 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
     epochs = int(tr["epochs"])
 
     # Parallel runtime BEFORE model build: sequence_parallel selects the
-    # decoder's "sp" attention impl (VERDICT r2 #5 — user-reachable TP/SP).
-    mesh, batch_sharding, place_state, sp_on = common.setup_parallelism(cfg, B, log)
+    # decoder's "sp" attention impl (VERDICT r2 #5 — user-reachable TP/SP);
+    # pipeline_parallel streams the decoder blocks over a "pipe" axis.
+    par = common.setup_parallelism(cfg, B, log, allow_pp=True)
+    mesh, batch_sharding, place_state, sp_on = (
+        par.mesh, par.batch_sharding, par.place_state, par.sp_on)
     ds = common.maybe_device_resident(cfg, ds, log, sharding=batch_sharding)
     model = build_model(cfg, dtype, decoder_attn_impl="sp" if sp_on else None)
+    if par.pp_mesh is not None and model.decoder_depth % par.pp_mesh.shape["pipe"]:
+        raise ValueError(
+            f"decoder_depth={model.decoder_depth} not divisible by "
+            f"pipeline_parallel={par.pp_mesh.shape['pipe']}")
     clip0 = jnp.zeros((B, T, S, S, 3), jnp.float32)
     L = (S // 8) ** 2
     mask0 = jnp.zeros((B, T, L), bool)
@@ -117,6 +124,8 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         patch_size=8,
         norm_pix_loss=bool(ssl.get("norm_pix_loss", True)),
         compute_dtype=dtype,
+        pp_mesh=par.pp_mesh,
+        pp_microbatches=par.pp_microbatches,
     )
 
     save_dir = tr.get("save_dir", "results/tinymae_v1")

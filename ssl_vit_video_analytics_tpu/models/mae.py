@@ -41,12 +41,28 @@ class TinyVideoMAE(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str | None = None
 
-    @nn.compact
-    def __call__(self, clip, mask, train: bool = False):
-        """clip: [B, T, H, W, 3] float; mask: [B, T, L] bool (True = masked).
+    def setup(self):
+        # setup-based (not nn.compact) so embed_tokens / predict_pixels are
+        # separately apply-able: the pipeline-parallel path (parallel/pp.py)
+        # runs the decoder block stack OUTSIDE the module, between the two.
+        # Attribute names reproduce the original compact param tree exactly.
+        D = self.decoder_embed_dim
+        L = (self.img_size // self.patch_size) ** 2
+        self.enc_to_dec = nn.Dense(D, dtype=self.dtype)
+        self.temporal_pos_embed = self.param(
+            "temporal_pos_embed", trunc02, (1, self.clip_len, 1, D))
+        self.spatial_pos_embed = self.param(
+            "spatial_pos_embed", trunc02, (1, 1, L, D))
+        self.mask_token = self.param("mask_token", trunc02, (1, 1, D))
+        self.decoder = TransformerEncoder(
+            self.decoder_depth, self.decoder_num_heads, mlp_ratio=4.0,
+            dtype=self.dtype, attn_impl=self.attn_impl)
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)  # torch LN eps
+        self.decoder_pred = nn.Dense(self.patch_size ** 2 * 3, dtype=self.dtype)
 
-        Returns pred [B, T*L, patch_size^2*3].
-        """
+    def embed_tokens(self, clip, mask, train: bool = False):
+        """Everything before the decoder blocks: encode -> project to decoder
+        dim -> pos embeds -> mask-token substitution. Returns [B, T*L, D]."""
         B, T, H, W, C = clip.shape
         L = (self.img_size // self.patch_size) ** 2
         D = self.decoder_embed_dim
@@ -56,26 +72,28 @@ class TinyVideoMAE(nn.Module):
         hw = latent.shape[1] * latent.shape[2]
         latent = latent.reshape(B * T, hw, latent.shape[-1])
 
-        x_dec = nn.Dense(D, dtype=self.dtype, name="enc_to_dec")(latent)
+        x_dec = self.enc_to_dec(latent)
         x_dec = x_dec.reshape(B, T, L, D)
+        x_dec = x_dec + (self.temporal_pos_embed[:, :T]
+                         + self.spatial_pos_embed).astype(x_dec.dtype)
 
-        temporal_pos = self.param("temporal_pos_embed", trunc02, (1, self.clip_len, 1, D))
-        spatial_pos = self.param("spatial_pos_embed", trunc02, (1, 1, L, D))
-        x_dec = x_dec + (temporal_pos[:, :T] + spatial_pos).astype(x_dec.dtype)
-
-        mask_token = self.param("mask_token", trunc02, (1, 1, D)).astype(x_dec.dtype)
+        mask_token = self.mask_token.astype(x_dec.dtype)
         m = mask.reshape(B, T, L, 1).astype(x_dec.dtype)
         x_dec = x_dec * (1.0 - m) + mask_token[:, None] * m
+        return x_dec.reshape(B, T * L, D)
 
-        x_dec = x_dec.reshape(B, T * L, D)
-        x_dec = TransformerEncoder(
-            self.decoder_depth, self.decoder_num_heads, mlp_ratio=4.0,
-            dtype=self.dtype, attn_impl=self.attn_impl, name="decoder",
-        )(x_dec, deterministic=not train)
-        x_dec = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                             name="decoder_norm")(x_dec)  # torch LN eps
-        pred = nn.Dense(self.patch_size ** 2 * 3, dtype=self.dtype, name="decoder_pred")(x_dec)
-        return pred
+    def predict_pixels(self, x_dec):
+        """Everything after the decoder blocks: final LN + pixel head."""
+        return self.decoder_pred(self.decoder_norm(x_dec))
+
+    def __call__(self, clip, mask, train: bool = False):
+        """clip: [B, T, H, W, 3] float; mask: [B, T, L] bool (True = masked).
+
+        Returns pred [B, T*L, patch_size^2*3].
+        """
+        x_dec = self.embed_tokens(clip, mask, train=train)
+        x_dec = self.decoder(x_dec, deterministic=not train)
+        return self.predict_pixels(x_dec)
 
 
 class MAEDecoder(nn.Module):

@@ -35,9 +35,29 @@ def make_pixel_mae_step(
     patch_size: int = 8,
     norm_pix_loss: bool = True,
     compute_dtype=jnp.float32,
+    pp_mesh=None,
+    pp_microbatches: int | None = None,
+    pp_axis: str = "pipe",
 ):
     """Pipeline-B step: tube mask -> TinyVideoMAE -> masked MSE on pixels
-    (ref: src/train_ssl_mae.py:66-89)."""
+    (ref: src/train_ssl_mae.py:66-89).
+
+    With ``pp_mesh`` set, the decoder's transformer blocks run PIPELINE-
+    PARALLEL over the mesh's ``pp_axis`` (parallel/pp.py): the model's
+    ``embed_tokens``/``predict_pixels`` halves run as usual and the block
+    stack in between streams ``pp_microbatches`` microbatches through the
+    stages (default: one per stage). Requires decoder_depth divisible by the
+    axis size and batch divisible by the microbatch count. Numerically
+    equivalent to the sequential decoder (tests/test_pp.py pins this at the
+    full-train-step level).
+    """
+    if pp_mesh is not None:
+        from ..models.layers import TransformerBlock
+        from ..parallel.pp import pipeline_transformer_encoder
+        pp_block = TransformerBlock(
+            model.decoder_num_heads, mlp_ratio=4.0, dtype=model.dtype,
+            attn_impl=model.attn_impl)
+        n_micro = pp_microbatches or pp_mesh.shape[pp_axis]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict, rng: jax.Array):
@@ -49,12 +69,24 @@ def make_pixel_mae_step(
         target = patchify(clip.astype(jnp.float32), patch_size)  # [B, T*L, p*p*3]
         flat_mask = mask.reshape(B, T * L)
 
+        def forward(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if pp_mesh is None:
+                return model.apply(variables, clip, mask, train=True,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": k_drop})
+            x_dec, mutated = model.apply(
+                variables, clip, mask, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop}, method="embed_tokens")
+            x_dec = pipeline_transformer_encoder(
+                pp_block, params["decoder"], x_dec, n_micro, pp_mesh,
+                axis=pp_axis)
+            pred = model.apply({"params": params}, x_dec,
+                               method="predict_pixels")
+            return pred, mutated
+
         def loss_fn(params):
-            pred, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                clip, mask, train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop},
-            )
+            pred, mutated = forward(params)
             loss = mae_loss_l2(pred, target, flat_mask, normalize_target=norm_pix_loss)
             return loss, (pred, mutated["batch_stats"])
 

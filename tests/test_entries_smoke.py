@@ -256,3 +256,23 @@ def test_ablations_executes_real_cell(synth_data, tmp_path, monkeypatch):
     csv = tmp_path / "abl" / "DYN_min_frames2" / "dynamic" / "early_exit_results.csv"
     rows = read_csv_dicts(str(csv))
     assert rows and all(2.0 <= float(r["avg_frames"]) <= 4.0 for r in rows)
+
+
+def test_train_ssl_mae_pipeline_parallel_knob(synth_data, tmp_path):
+    """device.pipeline_parallel=4: the entry builds a 4-stage pipe mesh and
+    streams the decoder blocks GPipe-style (parallel/pp.py), end-to-end."""
+    cfg = base_cfg(synth_data, tmp_path)
+    cfg["device"]["pipeline_parallel"] = 4
+    del cfg["device"]["data_parallel"]
+    cfg["model"] = {"type": "tiny_vit_21m_variant", "embed_dims": [8, 16, 24, 32],
+                    "decoder_embed_dim": 16, "decoder_depth": 4,
+                    "decoder_num_heads": 2, "use_checkpoint": False}
+    cfg["ssl"] = {"mask_ratio": 0.9, "mask_strategy": "tube", "norm_pix_loss": True}
+    cfg["training"] = {"epochs": 1, "batch_size": 4, "accumulation_steps": 1,
+                       "lr": 1e-3, "min_lr": 0.0, "warmup_epochs": 0,
+                       "weight_decay": 0.05, "save_dir": str(tmp_path / "pp"),
+                       "save_every": 10, "log_interval": 100}
+    logs = []
+    out = train_ssl_mae.run(cfg, log=logs.append, max_steps=2)
+    assert out["steps"] == 2 and np.isfinite(out["last_loss"])
+    assert any("pipeline-parallel decoder over 4 stages" in l for l in logs), logs
