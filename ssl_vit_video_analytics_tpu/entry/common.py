@@ -190,6 +190,12 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print,
                                (``allow_pp``); decoder_depth must divide by
                                N. device.pp_microbatches tunes the bubble
                                (default N).
+      device.expert_parallel:  N — with model.decoder_moe_experts set (opt-in
+                               MoE decoder MLPs, models/layers.MoeMlp), the
+                               expert bank shards over an "expert" axis
+                               (parallel/ep.py). Pipeline-B only; experts
+                               must divide by N. Exclusive with the other
+                               model-sharding knobs.
 
     Returns a ParallelRuntime (mesh, batch_sharding, place_state, sp_on,
     pp_mesh, pp_microbatches).
@@ -203,6 +209,33 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print,
                  or dev_cfg.get("sequence_parallel", False))
     tp = int(dev_cfg.get("model_parallel", 1) or 1)
     pp = int(dev_cfg.get("pipeline_parallel", 1) or 1)
+    ep = int(dev_cfg.get("expert_parallel", 1) or 1)
+
+    if ep > 1:
+        moe = int(cfg.get("model", {}).get("decoder_moe_experts", 0) or 0)
+        if not allow_pp:
+            log("[WARN] device.expert_parallel is only supported by the "
+                "pipeline-B entry (train_ssl_mae); ignoring")
+        elif sp_on or tp > 1 or pp > 1:
+            log("[WARN] expert_parallel is exclusive with the other "
+                "model-sharding knobs; ignoring expert_parallel")
+        elif moe <= 0:
+            log("[WARN] expert_parallel needs model.decoder_moe_experts > 0; "
+                "ignoring")
+        elif n_dev < 2:
+            log("[WARN] expert_parallel requested on 1 device; ignoring")
+        else:
+            from ..parallel.ep import set_ep_mesh
+            ep = min(ep, n_dev)
+            while ep > 1 and moe % ep:
+                ep -= 1
+            mesh = make_mesh({"expert": ep}, devices=jax.devices()[:ep])
+            set_ep_mesh(mesh)
+            repl = NamedSharding(mesh, P())
+            log(f"[INFO] expert-parallel MoE decoder: {moe} experts over "
+                f"{ep} devices: {mesh}")
+            return ParallelRuntime(
+                mesh, repl, (lambda s: jax.device_put(s, repl)), False)
 
     if pp > 1:
         if not allow_pp:

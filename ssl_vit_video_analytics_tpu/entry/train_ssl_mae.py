@@ -45,6 +45,9 @@ def build_model(cfg: dict, dtype, attn_impl: str | None = None,
         decoder_num_heads=int(m["decoder_num_heads"]),
         dtype=dtype,
         attn_impl=decoder_attn_impl or attn_impl,
+        decoder_moe_experts=int(m.get("decoder_moe_experts", 0) or 0),
+        decoder_moe_capacity_factor=float(
+            m.get("decoder_moe_capacity_factor", 2.0)),
     )
 
 

@@ -290,6 +290,69 @@ class Mlp(nn.Module):
         return x
 
 
+class MoeMlp(nn.Module):
+    """Top-1-routed mixture-of-experts MLP (opt-in, beyond-reference).
+
+    GShard-style static-shape dispatch: every token picks its argmax expert,
+    takes a slot in that expert's fixed-capacity buffer (capacity
+    C = ceil(N/E * capacity_factor); overflow tokens are DROPPED — their MoE
+    output is 0, so the block's residual passes them through unchanged), and
+    the expert matmuls run via parallel/ep.expert_parallel_apply — sharded
+    over an "expert" mesh axis when one is installed (set_ep_mesh), plain
+    vmap otherwise. Routing/softmax runs in f32; the gate value scales each
+    token's expert output (the path through which the router gets gradient).
+
+    Shapes are static and MXU-friendly: dispatch/combine are [N, E, C]
+    one-hot einsums, each expert computes a dense [C, D] x [D, H] x [H, D].
+    """
+
+    hidden: int
+    num_experts: int
+    capacity_factor: float = 2.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from ..parallel.ep import expert_parallel_apply
+
+        B, L, D = x.shape
+        N, E, H = B * L, self.num_experts, self.hidden
+        C = max(1, int(-(-N * self.capacity_factor // E)))
+        xt = x.reshape(N, D)
+
+        logits = nn.Dense(E, dtype=jnp.float32, name="router")(
+            xt.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)                 # [N, E]
+        gate = jnp.max(probs, axis=-1)                          # top-1 prob
+        onehot = jax.nn.one_hot(jnp.argmax(probs, axis=-1), E,
+                                dtype=jnp.float32)              # [N, E]
+        pos = jnp.cumsum(onehot, axis=0) - 1.0                  # slot index
+        keep = (pos < C).astype(jnp.float32) * onehot
+        dispatch = keep[..., None] * jax.nn.one_hot(
+            pos.astype(jnp.int32), C, dtype=jnp.float32)        # [N, E, C]
+        dispatch = dispatch.astype(self.dtype)
+
+        expert_in = jnp.einsum("nec,nd->ecd", dispatch,
+                               xt.astype(self.dtype))           # [E, C, D]
+        init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", batch_axis=(0,))
+        zeros = nn.initializers.zeros
+        bank = {"w1": self.param("w1", init, (E, D, H)),
+                "b1": self.param("b1", zeros, (E, H)),
+                "w2": self.param("w2", init, (E, H, D)),
+                "b2": self.param("b2", zeros, (E, D))}
+        bank = jax.tree.map(lambda a: a.astype(self.dtype), bank)
+
+        def mlp_fn(p, xin):  # one expert: [C, D] -> [C, D]
+            h = nn.gelu(xin @ p["w1"] + p["b1"])
+            return h @ p["w2"] + p["b2"]
+
+        out = expert_parallel_apply(mlp_fn, bank, expert_in)    # [E, C, D]
+        combine = dispatch * gate[:, None, None].astype(self.dtype)
+        y = jnp.einsum("nec,ecd->nd", combine, out)
+        return y.reshape(B, L, D).astype(self.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """Fused-QKV multi-head self-attention over [B, L, D].
 
@@ -352,6 +415,8 @@ class TransformerBlock(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str | None = None
+    moe_experts: int = 0  # >0: MoeMlp instead of the dense MLP (opt-in EP)
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -367,7 +432,11 @@ class TransformerBlock(nn.Module):
                                attn_impl=self.attn_impl)(h)
         x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        h = Mlp(int(D * self.mlp_ratio), dropout=self.dropout, dtype=self.dtype)(h, deterministic)
+        if self.moe_experts:
+            h = MoeMlp(int(D * self.mlp_ratio), self.moe_experts,
+                       self.moe_capacity_factor, dtype=self.dtype)(h, deterministic)
+        else:
+            h = Mlp(int(D * self.mlp_ratio), dropout=self.dropout, dtype=self.dtype)(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
         return x
 
@@ -381,13 +450,17 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str | None = None
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.depth):
             x = TransformerBlock(
                 self.num_heads, mlp_ratio=self.mlp_ratio, dropout=self.dropout,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"block{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor, name=f"block{i}",
             )(x, deterministic)
         return x
 

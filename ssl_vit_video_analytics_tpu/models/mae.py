@@ -40,6 +40,9 @@ class TinyVideoMAE(nn.Module):
     decoder_num_heads: int = 6
     dtype: jnp.dtype = jnp.float32
     attn_impl: str | None = None
+    # opt-in MoE decoder MLPs (expert parallelism; models/layers.py MoeMlp)
+    decoder_moe_experts: int = 0
+    decoder_moe_capacity_factor: float = 2.0
 
     def setup(self):
         # setup-based (not nn.compact) so embed_tokens / predict_pixels are
@@ -56,7 +59,9 @@ class TinyVideoMAE(nn.Module):
         self.mask_token = self.param("mask_token", trunc02, (1, 1, D))
         self.decoder = TransformerEncoder(
             self.decoder_depth, self.decoder_num_heads, mlp_ratio=4.0,
-            dtype=self.dtype, attn_impl=self.attn_impl)
+            dtype=self.dtype, attn_impl=self.attn_impl,
+            moe_experts=self.decoder_moe_experts,
+            moe_capacity_factor=self.decoder_moe_capacity_factor)
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)  # torch LN eps
         self.decoder_pred = nn.Dense(self.patch_size ** 2 * 3, dtype=self.dtype)
 

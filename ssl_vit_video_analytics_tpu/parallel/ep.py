@@ -1,0 +1,78 @@
+"""Expert parallelism for the opt-in MoE decoder MLP.
+
+Beyond-reference extension (the reference has no MoE and no parallelism at
+all, SURVEY §2): models/layers.py ``MoeMlp`` can replace a decoder block's
+dense MLP with ``num_experts`` top-1-routed experts (GShard-style one-hot
+dispatch/combine einsums — XLA-friendly static shapes, MXU-shaped matmuls).
+This module supplies the EP axis: expert weights AND expert FLOPs shard over
+a mesh's ``expert`` axis, so a decoder whose expert bank is too big for one
+chip's HBM scales linearly over devices.
+
+Split of labor:
+  - MoeMlp (models/layers.py) computes routing + the [N, E, C] dispatch /
+    combine tensors and calls :func:`expert_parallel_apply` for the expert
+    matmuls. Routing math is tiny (an [N, E] softmax) and stays replicated.
+  - expert_parallel_apply runs each expert's MLP where its weights live:
+    ``shard_map`` over the expert axis, each device vmapping over its
+    ``E / n_devices`` experts on its ``[E/n, C, D]`` slice of the dispatched
+    tokens. Without a mesh it degrades to a plain vmap (single-device /
+    CPU tests). The dispatch einsum's output is sharded P(axis) on the
+    expert dim, so under jit GSPMD feeds each device only its slice — the
+    cross-device traffic is the dispatched token slices (the all-to-all of
+    classic EP), not the full activations.
+
+Like ops/attention.set_sp_mesh, the active EP mesh is process-global
+(set_ep_mesh) so flax modules don't carry mesh objects in their hashable
+config.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+
+_EP_MESH = None
+_EP_AXIS = "expert"
+
+
+def set_ep_mesh(mesh, axis: str = "expert") -> None:
+    """Install (or clear, with mesh=None) the process-global EP mesh."""
+    global _EP_MESH, _EP_AXIS
+    _EP_MESH, _EP_AXIS = mesh, axis
+
+
+def get_ep_mesh():
+    return _EP_MESH, _EP_AXIS
+
+
+def expert_parallel_apply(mlp_fn, stacked_params, expert_in,
+                          mesh=None, axis=None):
+    """Apply per-expert ``mlp_fn`` to per-expert token slices.
+
+    Args:
+      mlp_fn: ``(one_expert_params, [C, D]) -> [C, D_out]``.
+      stacked_params: pytree with leading axis E (the expert bank).
+      expert_in: ``[E, C, D]`` dispatched tokens.
+      mesh/axis: overrides the process-global EP mesh (None = use global).
+
+    Returns ``[E, C, D_out]``. With a mesh, E must divide by the axis size
+    and both params and tokens are sharded over it; otherwise a plain vmap.
+    """
+    if mesh is None:
+        mesh, axis = _EP_MESH, _EP_AXIS
+    E = expert_in.shape[0]
+    if mesh is None or E % mesh.shape[axis] != 0:
+        return jax.vmap(mlp_fn)(stacked_params, expert_in)
+
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), stacked_params), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def run(p_local, x_local):  # leaves [E/n, ...]
+        return jax.vmap(mlp_fn)(p_local, x_local)
+
+    return run(stacked_params, expert_in)

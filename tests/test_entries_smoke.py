@@ -276,3 +276,31 @@ def test_train_ssl_mae_pipeline_parallel_knob(synth_data, tmp_path):
     out = train_ssl_mae.run(cfg, log=logs.append, max_steps=2)
     assert out["steps"] == 2 and np.isfinite(out["last_loss"])
     assert any("pipeline-parallel decoder over 4 stages" in l for l in logs), logs
+
+
+def test_train_ssl_mae_expert_parallel_knob(synth_data, tmp_path):
+    """model.decoder_moe_experts=8 + device.expert_parallel=8: opt-in MoE
+    decoder MLPs with the expert bank sharded over an 8-way mesh
+    (parallel/ep.py), end-to-end through the entry."""
+    from ssl_vit_video_analytics_tpu.parallel.ep import set_ep_mesh
+
+    cfg = base_cfg(synth_data, tmp_path)
+    cfg["device"]["expert_parallel"] = 8
+    del cfg["device"]["data_parallel"]
+    cfg["model"] = {"type": "tiny_vit_21m_variant", "embed_dims": [8, 16, 24, 32],
+                    "decoder_embed_dim": 16, "decoder_depth": 1,
+                    "decoder_num_heads": 2, "use_checkpoint": False,
+                    "decoder_moe_experts": 8}
+    cfg["ssl"] = {"mask_ratio": 0.9, "mask_strategy": "tube", "norm_pix_loss": True}
+    cfg["training"] = {"epochs": 1, "batch_size": 4, "accumulation_steps": 1,
+                       "lr": 1e-3, "min_lr": 0.0, "warmup_epochs": 0,
+                       "weight_decay": 0.05, "save_dir": str(tmp_path / "ep"),
+                       "save_every": 10, "log_interval": 100}
+    logs = []
+    try:
+        out = train_ssl_mae.run(cfg, log=logs.append, max_steps=2)
+    finally:
+        set_ep_mesh(None)
+    assert out["steps"] == 2 and np.isfinite(out["last_loss"])
+    assert any("expert-parallel MoE decoder: 8 experts over 8 devices" in l
+               for l in logs), logs
