@@ -48,6 +48,7 @@ def build_model(cfg: dict, dtype, attn_impl: str | None = None,
         decoder_moe_experts=int(m.get("decoder_moe_experts", 0) or 0),
         decoder_moe_capacity_factor=float(
             m.get("decoder_moe_capacity_factor", 2.0)),
+        decoder_moe_group_size=int(m.get("decoder_moe_group_size", 0) or 0),
     )
 
 

@@ -294,21 +294,29 @@ class MoeMlp(nn.Module):
     """Top-1-routed mixture-of-experts MLP (opt-in, beyond-reference).
 
     GShard-style static-shape dispatch: every token picks its argmax expert,
-    takes a slot in that expert's fixed-capacity buffer (capacity
-    C = ceil(N/E * capacity_factor); overflow tokens are DROPPED — their MoE
-    output is 0, so the block's residual passes them through unchanged), and
-    the expert matmuls run via parallel/ep.expert_parallel_apply — sharded
-    over an "expert" mesh axis when one is installed (set_ep_mesh), plain
-    vmap otherwise. Routing/softmax runs in f32; the gate value scales each
-    token's expert output (the path through which the router gets gradient).
+    takes a slot in that expert's fixed-capacity buffer (overflow tokens are
+    DROPPED — their MoE output is 0, so the block's residual passes them
+    through unchanged), and the expert matmuls run via
+    parallel/ep.expert_parallel_apply — sharded over an "expert" mesh axis
+    when one is installed (set_ep_mesh), plain vmap otherwise.
+    Routing/softmax runs in f32; the gate value scales each token's expert
+    output (the path through which the router gets gradient).
 
-    Shapes are static and MXU-friendly: dispatch/combine are [N, E, C]
-    one-hot einsums, each expert computes a dense [C, D] x [D, H] x [H, D].
+    Dispatch/combine are one-hot einsums over static shapes, so their cost
+    is S*E*C per group of S tokens — quadratic in S if all N = B*L tokens
+    route as one group (C grows with S). ``group_size`` bounds that the
+    GShard way: tokens route within fixed groups of S tokens, capacity
+    C = ceil(S/E * capacity_factor) is per-group, and the expert matmuls
+    still run as one dense [E, G*C, D] x [D, H] x [H, D] bank apply.
+    group_size=0 (default) routes all tokens as one group — fine for tests
+    and small models; production decoder configs should set a divisor of
+    the per-clip token count (e.g. 392 for the 3136-token decoder).
     """
 
     hidden: int
     num_experts: int
     capacity_factor: float = 2.0
+    group_size: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -317,7 +325,10 @@ class MoeMlp(nn.Module):
 
         B, L, D = x.shape
         N, E, H = B * L, self.num_experts, self.hidden
-        C = max(1, int(-(-N * self.capacity_factor // E)))
+        S = self.group_size if (self.group_size > 0
+                                and N % self.group_size == 0) else N
+        G = N // S
+        C = max(1, int(-(-S * self.capacity_factor // E)))
         xt = x.reshape(N, D)
 
         logits = nn.Dense(E, dtype=jnp.float32, name="router")(
@@ -325,15 +336,16 @@ class MoeMlp(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)                 # [N, E]
         gate = jnp.max(probs, axis=-1)                          # top-1 prob
         onehot = jax.nn.one_hot(jnp.argmax(probs, axis=-1), E,
-                                dtype=jnp.float32)              # [N, E]
-        pos = jnp.cumsum(onehot, axis=0) - 1.0                  # slot index
+                                dtype=jnp.float32).reshape(G, S, E)
+        pos = jnp.cumsum(onehot, axis=1) - 1.0                  # slot in group
         keep = (pos < C).astype(jnp.float32) * onehot
         dispatch = keep[..., None] * jax.nn.one_hot(
-            pos.astype(jnp.int32), C, dtype=jnp.float32)        # [N, E, C]
+            pos.astype(jnp.int32), C, dtype=jnp.float32)        # [G, S, E, C]
         dispatch = dispatch.astype(self.dtype)
 
-        expert_in = jnp.einsum("nec,nd->ecd", dispatch,
-                               xt.astype(self.dtype))           # [E, C, D]
+        xg = xt.reshape(G, S, D).astype(self.dtype)
+        expert_in = jnp.einsum("gsec,gsd->egcd", dispatch,
+                               xg).reshape(E, G * C, D)
         init = nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal", batch_axis=(0,))
         zeros = nn.initializers.zeros
@@ -343,13 +355,15 @@ class MoeMlp(nn.Module):
                 "b2": self.param("b2", zeros, (E, D))}
         bank = jax.tree.map(lambda a: a.astype(self.dtype), bank)
 
-        def mlp_fn(p, xin):  # one expert: [C, D] -> [C, D]
+        def mlp_fn(p, xin):  # one expert: [G*C, D] -> [G*C, D]
             h = nn.gelu(xin @ p["w1"] + p["b1"])
             return h @ p["w2"] + p["b2"]
 
-        out = expert_parallel_apply(mlp_fn, bank, expert_in)    # [E, C, D]
-        combine = dispatch * gate[:, None, None].astype(self.dtype)
-        y = jnp.einsum("nec,ecd->nd", combine, out)
+        out = expert_parallel_apply(mlp_fn, bank, expert_in)    # [E, G*C, D]
+        out = out.reshape(E, G, C, D)
+        combine = dispatch * gate.reshape(G, S)[:, :, None, None].astype(
+            self.dtype)
+        y = jnp.einsum("gsec,egcd->gsd", combine, out)
         return y.reshape(B, L, D).astype(self.dtype)
 
 
@@ -417,6 +431,7 @@ class TransformerBlock(nn.Module):
     attn_impl: str | None = None
     moe_experts: int = 0  # >0: MoeMlp instead of the dense MLP (opt-in EP)
     moe_capacity_factor: float = 2.0
+    moe_group_size: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -434,7 +449,8 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         if self.moe_experts:
             h = MoeMlp(int(D * self.mlp_ratio), self.moe_experts,
-                       self.moe_capacity_factor, dtype=self.dtype)(h, deterministic)
+                       self.moe_capacity_factor, self.moe_group_size,
+                       dtype=self.dtype)(h, deterministic)
         else:
             h = Mlp(int(D * self.mlp_ratio), dropout=self.dropout, dtype=self.dtype)(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic=deterministic)
@@ -452,6 +468,7 @@ class TransformerEncoder(nn.Module):
     attn_impl: str | None = None
     moe_experts: int = 0
     moe_capacity_factor: float = 2.0
+    moe_group_size: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -460,7 +477,8 @@ class TransformerEncoder(nn.Module):
                 self.num_heads, mlp_ratio=self.mlp_ratio, dropout=self.dropout,
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 moe_experts=self.moe_experts,
-                moe_capacity_factor=self.moe_capacity_factor, name=f"block{i}",
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_group_size=self.moe_group_size, name=f"block{i}",
             )(x, deterministic)
         return x
 

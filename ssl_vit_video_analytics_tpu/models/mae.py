@@ -43,6 +43,7 @@ class TinyVideoMAE(nn.Module):
     # opt-in MoE decoder MLPs (expert parallelism; models/layers.py MoeMlp)
     decoder_moe_experts: int = 0
     decoder_moe_capacity_factor: float = 2.0
+    decoder_moe_group_size: int = 0
 
     def setup(self):
         # setup-based (not nn.compact) so embed_tokens / predict_pixels are
@@ -61,7 +62,8 @@ class TinyVideoMAE(nn.Module):
             self.decoder_depth, self.decoder_num_heads, mlp_ratio=4.0,
             dtype=self.dtype, attn_impl=self.attn_impl,
             moe_experts=self.decoder_moe_experts,
-            moe_capacity_factor=self.decoder_moe_capacity_factor)
+            moe_capacity_factor=self.decoder_moe_capacity_factor,
+            moe_group_size=self.decoder_moe_group_size)
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)  # torch LN eps
         self.decoder_pred = nn.Dense(self.patch_size ** 2 * 3, dtype=self.dtype)
 

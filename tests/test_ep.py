@@ -126,3 +126,50 @@ def test_pixel_mae_step_moe_decoder_under_ep():
     moe_new = new_state.params["decoder"]["block0"]["MoeMlp_0"]
     moe_old = variables["params"]["decoder"]["block0"]["MoeMlp_0"]
     assert float(jnp.abs(moe_new["w1"] - moe_old["w1"]).max()) > 0
+
+
+def test_moe_grouped_routing_matches_flat_at_high_capacity():
+    """group_size=S with ample capacity: identical output to flat routing
+    (routing is per-token; grouping only changes capacity accounting)."""
+    mlp, params, x = _setup()          # N = 48 tokens
+    y_flat = mlp.apply({"params": params}, x)
+    grouped = MoeMlp(hidden=H, num_experts=E, capacity_factor=100.0,
+                     group_size=12)    # 4 groups of 12
+    y_grp = grouped.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y_grp), np.asarray(y_flat),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_grouped_capacity_is_per_group():
+    """capacity_factor=1 with groups: each group independently drops its
+    overflow (slot index resets per group), and kept tokens match the
+    dense reference."""
+    mlp, params, x = _setup()
+    grouped = MoeMlp(hidden=H, num_experts=E, capacity_factor=1.0,
+                     group_size=12)    # C = ceil(12/4) = 3 per group
+    y = np.asarray(grouped.apply({"params": params}, x)).reshape(-1, D)
+    ref = _reference(params, x).reshape(-1, D)
+    xt = np.asarray(x).reshape(-1, D)
+    logits = xt @ np.asarray(params["router"]["kernel"]) + np.asarray(
+        params["router"]["bias"])
+    sel = np.asarray(jnp.argmax(jax.nn.softmax(jnp.asarray(logits), -1), -1))
+    onehot = np.eye(E)[sel].reshape(4, 12, E)
+    pos = np.cumsum(onehot, axis=1) - 1.0
+    kept = (((pos < 3) * onehot).sum(-1) > 0).reshape(-1)
+    assert kept.sum() < len(kept)
+    np.testing.assert_allclose(y[kept], ref[kept], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(y[~kept], 0.0)
+
+
+def test_moe_grouped_ep_sharded_matches_vmap():
+    mlp, params, x = _setup()
+    grouped = MoeMlp(hidden=H, num_experts=E, capacity_factor=2.0,
+                     group_size=12)
+    y_vmap = grouped.apply({"params": params}, x)
+    set_ep_mesh(make_mesh({"expert": 4}))
+    try:
+        y_ep = grouped.apply({"params": params}, x)
+    finally:
+        set_ep_mesh(None)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_vmap),
+                               rtol=1e-6, atol=1e-6)
