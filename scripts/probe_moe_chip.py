@@ -78,7 +78,9 @@ def main():
                                    batch_stats=variables.get("batch_stats"))
         step_fn = make_pixel_mae_step(model, tx, mask_ratio=0.9, patch_size=8,
                                       norm_pix_loss=True,
-                                      compute_dtype=jnp.bfloat16)
+                                      compute_dtype=jnp.bfloat16,
+                                      # production path: load-balance aux on
+                                      moe_aux_weight=0.01 if moe else 0.0)
         rng = np.random.default_rng(0)
         key = jax.random.key(1)
         s_w, m_w = step_fn(state, {"clip": jnp.asarray(clips[:B])},

@@ -130,6 +130,9 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
         compute_dtype=dtype,
         pp_mesh=par.pp_mesh,
         pp_microbatches=par.pp_microbatches,
+        # load-balance aux for the opt-in MoE decoder (Switch-style; 0.01 is
+        # the Switch-Transformer default). No-op for the dense decoder.
+        moe_aux_weight=float(ssl.get("moe_aux_weight", 0.01)),
     )
 
     save_dir = tr.get("save_dir", "results/tinymae_v1")
@@ -177,10 +180,12 @@ def run(cfg: dict, log=print, max_steps: int | None = None) -> dict:
                 eta = (steps_per_epoch - step) * (dt / step)
                 mfu = (pipeline_b_mfu(ips, T, S, **mfu_kwargs)
                        if jax.default_backend() == "tpu" else 0.0)
+                moe = (f" moe_aux={float(metrics['moe_aux']):.3f}"
+                       if "moe_aux" in metrics else "")
                 log(f"[INFO] ep={epoch} step={step}/{steps_per_epoch} "
                     f"loss={last_loss:.4f} pred_std={float(metrics['pred_std']):.4f} "
                     f"gnorm={float(metrics['grad_norm']):.2e} "
-                    f"clips/s={ips:.1f} mfu={mfu:.3f} eta={eta:.0f}s")
+                    f"clips/s={ips:.1f} mfu={mfu:.3f} eta={eta:.0f}s{moe}")
                 if tb is not None:
                     tb.add_scalar("Train/Loss", last_loss, global_step)
                     tb.add_scalar("Train/Throughput", ips, global_step)

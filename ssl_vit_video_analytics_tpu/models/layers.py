@@ -337,6 +337,14 @@ class MoeMlp(nn.Module):
         gate = jnp.max(probs, axis=-1)                          # top-1 prob
         onehot = jax.nn.one_hot(jnp.argmax(probs, axis=-1), E,
                                 dtype=jnp.float32).reshape(G, S, E)
+        # Switch-style load-balance auxiliary: E * sum_e f_e * P_e, where
+        # f_e = fraction of tokens argmax-routed to e (pre-capacity) and
+        # P_e = mean router prob mass on e. Minimum 1.0 at perfect balance;
+        # differentiable through P_e. Consumed by the train step via
+        # mutable=["intermediates"] when moe_aux_weight > 0.
+        aux = E * jnp.sum(jnp.mean(onehot.reshape(N, E), axis=0)
+                          * jnp.mean(probs, axis=0))
+        self.sow("intermediates", "moe_aux_loss", aux)
         pos = jnp.cumsum(onehot, axis=1) - 1.0                  # slot in group
         keep = (pos < C).astype(jnp.float32) * onehot
         dispatch = keep[..., None] * jax.nn.one_hot(

@@ -38,9 +38,16 @@ def make_pixel_mae_step(
     pp_mesh=None,
     pp_microbatches: int | None = None,
     pp_axis: str = "pipe",
+    moe_aux_weight: float = 0.0,
 ):
     """Pipeline-B step: tube mask -> TinyVideoMAE -> masked MSE on pixels
     (ref: src/train_ssl_mae.py:66-89).
+
+    ``moe_aux_weight`` > 0 (requires a MoE decoder,
+    model.decoder_moe_experts > 0) adds the Switch-style load-balance
+    auxiliary each MoeMlp sows (mean over decoder blocks) to the loss —
+    without it, top-1 routing degenerates to one hot expert. Reported as
+    the ``moe_aux`` metric (1.0 = perfectly balanced).
 
     With ``pp_mesh`` set, the decoder's transformer blocks run PIPELINE-
     PARALLEL over the mesh's ``pp_axis`` (parallel/pp.py): the model's
@@ -52,12 +59,16 @@ def make_pixel_mae_step(
     full-train-step level).
     """
     if pp_mesh is not None:
+        if getattr(model, "decoder_moe_experts", 0):
+            raise ValueError("pipeline-parallel decoder does not support the "
+                             "MoE decoder (use device.expert_parallel)")
         from ..models.layers import TransformerBlock
         from ..parallel.pp import pipeline_transformer_encoder
         pp_block = TransformerBlock(
             model.decoder_num_heads, mlp_ratio=4.0, dtype=model.dtype,
             attn_impl=model.attn_impl)
         n_micro = pp_microbatches or pp_mesh.shape[pp_axis]
+    moe_aux_on = moe_aux_weight > 0 and getattr(model, "decoder_moe_experts", 0)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict, rng: jax.Array):
@@ -71,9 +82,10 @@ def make_pixel_mae_step(
 
         def forward(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            mut = ["batch_stats", "intermediates"] if moe_aux_on else ["batch_stats"]
             if pp_mesh is None:
                 return model.apply(variables, clip, mask, train=True,
-                                   mutable=["batch_stats"],
+                                   mutable=mut,
                                    rngs={"dropout": k_drop})
             x_dec, mutated = model.apply(
                 variables, clip, mask, train=True, mutable=["batch_stats"],
@@ -88,9 +100,17 @@ def make_pixel_mae_step(
         def loss_fn(params):
             pred, mutated = forward(params)
             loss = mae_loss_l2(pred, target, flat_mask, normalize_target=norm_pix_loss)
-            return loss, (pred, mutated["batch_stats"])
+            aux = jnp.float32(0.0)
+            if moe_aux_on:
+                sown = [v for path, v in jax.tree_util.tree_flatten_with_path(
+                            mutated["intermediates"])[0]
+                        if any(getattr(k, "key", None) == "moe_aux_loss"
+                               for k in path)]
+                aux = sum(sown) / len(sown)  # mean over decoder MoE blocks
+                loss = loss + moe_aux_weight * aux
+            return loss, (pred, mutated["batch_stats"], aux)
 
-        (loss, (pred, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (pred, new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = apply_updates(state, grads, tx, new_batch_stats=new_bs)
         pred_std = jnp.std(pred.astype(jnp.float32))
         # grad_norm is the PER-MICROBATCH global norm: with
@@ -101,6 +121,8 @@ def make_pixel_mae_step(
         metrics = {"loss": loss, "pred_std": pred_std,
                    "grad_norm": optax.global_norm(grads),
                    "collapse": (pred_std < COLLAPSE_STD_THRESHOLD).astype(jnp.float32)}
+        if moe_aux_on:
+            metrics["moe_aux"] = aux
         return new_state, metrics
 
     return step

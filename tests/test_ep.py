@@ -117,6 +117,9 @@ def test_pixel_mae_step_moe_decoder_under_ep():
     step = make_pixel_mae_step(model, tx, mask_ratio=0.9, patch_size=8)
     batch = {"clip": np.random.default_rng(2).integers(
         0, 255, (4, T, S, S, 3)).astype(np.uint8)}
+    # snapshot before the step: donate_argnums deletes the state buffers,
+    # which `variables` shares
+    w1_old = np.asarray(variables["params"]["decoder"]["block0"]["MoeMlp_0"]["w1"])
     set_ep_mesh(make_mesh({"expert": 8}))
     try:
         new_state, metrics = step(state, batch, jax.random.key(3))
@@ -124,8 +127,7 @@ def test_pixel_mae_step_moe_decoder_under_ep():
         set_ep_mesh(None)
     assert np.isfinite(float(metrics["loss"]))
     moe_new = new_state.params["decoder"]["block0"]["MoeMlp_0"]
-    moe_old = variables["params"]["decoder"]["block0"]["MoeMlp_0"]
-    assert float(jnp.abs(moe_new["w1"] - moe_old["w1"]).max()) > 0
+    assert float(jnp.abs(moe_new["w1"] - jnp.asarray(w1_old)).max()) > 0
 
 
 def test_moe_grouped_routing_matches_flat_at_high_capacity():
@@ -173,3 +175,66 @@ def test_moe_grouped_ep_sharded_matches_vmap():
         set_ep_mesh(None)
     np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_vmap),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_moe_aux_loss_balances_router():
+    """The sown Switch aux (E * sum f_e P_e) is 1.0 at perfect balance and
+    its gradient drives a skewed router toward balance."""
+    import optax
+    mlp, params, x = _setup()
+
+    def aux_of(p):
+        _, inter = mlp.apply({"params": p}, x, mutable=["intermediates"])
+        return inter["intermediates"]["moe_aux_loss"][0]
+
+    # skew the router hard toward expert 0
+    skew = jax.tree.map(lambda a: a, params)
+    skew["router"]["bias"] = jnp.asarray([8.0, 0.0, 0.0, 0.0], jnp.float32)
+    a0 = float(aux_of(skew))
+    assert a0 > 2.0  # heavily imbalanced (max is E = 4)
+
+    tx = optax.sgd(0.5)
+    opt = tx.init(skew)
+    p = skew
+    for _ in range(60):
+        g = jax.grad(aux_of)(p)
+        up, opt = tx.update(g, opt)
+        p = optax.apply_updates(p, up)
+    a1 = float(aux_of(p))
+    assert a1 < a0 - 0.5, (a0, a1)  # aux descends toward the balanced 1.0
+
+
+def test_pixel_mae_step_moe_aux_metric():
+    """make_pixel_mae_step with moe_aux_weight > 0: the moe_aux metric is
+    reported, finite, and within [1, E]; router gets a gradient."""
+    import optax
+    from ssl_vit_video_analytics_tpu.models import TinyVideoMAE, TinyViT
+    from ssl_vit_video_analytics_tpu.train.mae_engine import make_pixel_mae_step
+    from ssl_vit_video_analytics_tpu.train.state import create_train_state
+
+    T, S = 2, 32
+    enc = TinyViT(embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+                  num_heads=(1, 2, 2, 2), use_checkpoint=False)
+    model = TinyVideoMAE(encoder=enc, clip_len=T, img_size=S, patch_size=8,
+                         decoder_embed_dim=16, decoder_depth=1,
+                         decoder_num_heads=2, decoder_moe_experts=4)
+    Lp = (S // 8) ** 2
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((4, T, S, S, 3), jnp.float32),
+                           jnp.zeros((4, T, Lp), bool))
+    tx = optax.sgd(1e-3)
+    state = create_train_state(variables["params"], tx,
+                               batch_stats=variables.get("batch_stats"))
+    step = make_pixel_mae_step(model, tx, mask_ratio=0.9, patch_size=8,
+                               moe_aux_weight=0.01)
+    batch = {"clip": np.random.default_rng(5).integers(
+        0, 255, (4, T, S, S, 3)).astype(np.uint8)}
+    # snapshot before the step: donate_argnums deletes the state buffers,
+    # which `variables` shares
+    rt_old = np.asarray(
+        variables["params"]["decoder"]["block0"]["MoeMlp_0"]["router"]["kernel"])
+    new_state, metrics = step(state, batch, jax.random.key(6))
+    aux = float(metrics["moe_aux"])
+    assert np.isfinite(aux) and 1.0 <= aux <= 4.0 + 1e-6
+    rt_new = new_state.params["decoder"]["block0"]["MoeMlp_0"]["router"]["kernel"]
+    assert float(jnp.abs(rt_new - jnp.asarray(rt_old)).max()) > 0
