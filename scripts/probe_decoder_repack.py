@@ -84,9 +84,11 @@ def main():
         rng = np.random.default_rng(0)
         key = jax.random.key(1)
         losses = []
-        # warmup/compile outside the timed window
+        # warmup/compile outside the timed window. step_fn DONATES its
+        # state arg — continue from the returned state (reusing the donated
+        # one surfaces as an async INVALID_ARGUMENT through the axon tunnel)
         k0 = jax.random.key(2)
-        s_w, m_w = step_fn(state, {"clip": jnp.asarray(clips[:B])}, k0)
+        state, m_w = step_fn(state, {"clip": jnp.asarray(clips[:B])}, k0)
         float(m_w["loss"])
         t0 = time.time()
         for _ in range(args.steps):

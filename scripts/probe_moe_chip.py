@@ -83,8 +83,9 @@ def main():
                                       moe_aux_weight=0.01 if moe else 0.0)
         rng = np.random.default_rng(0)
         key = jax.random.key(1)
-        s_w, m_w = step_fn(state, {"clip": jnp.asarray(clips[:B])},
-                           jax.random.key(2))
+        # step_fn DONATES its state arg — continue from the returned state
+        state, m_w = step_fn(state, {"clip": jnp.asarray(clips[:B])},
+                             jax.random.key(2))
         float(m_w["loss"])  # sync through the tunnel
         losses = []
         t0 = time.time()

@@ -194,8 +194,10 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print,
                                MoE decoder MLPs, models/layers.MoeMlp), the
                                expert bank shards over an "expert" axis
                                (parallel/ep.py). Pipeline-B only; experts
-                               must divide by N. Exclusive with the other
-                               model-sharding knobs.
+                               must divide by N. Composes with
+                               device.data_parallel (leftover devices form
+                               a dp x ep mesh, batch sharded over "data");
+                               exclusive with tp/sp/pp.
 
     Returns a ParallelRuntime (mesh, batch_sharding, place_state, sp_on,
     pp_mesh, pp_microbatches).
@@ -229,13 +231,26 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print,
             ep = min(ep, n_dev)
             while ep > 1 and moe % ep:
                 ep -= 1
-            mesh = make_mesh({"expert": ep}, devices=jax.devices()[:ep])
+            # remaining devices become a data axis (dp x ep), honoring an
+            # explicit device.data_parallel cap; batch shards over "data",
+            # expert bank + expert FLOPs over "expert" (parallel/ep.py)
+            dp_req = dev_cfg.get("data_parallel", "auto")
+            dp = n_dev // ep if dp_req in ("auto", True, None) else int(dp_req or 1)
+            dp = max(1, min(dp, n_dev // ep))
+            while dp > 1 and batch_size % dp:
+                dp -= 1
+            mesh = make_mesh({"data": dp, "expert": ep},
+                             devices=jax.devices()[: dp * ep])
             set_ep_mesh(mesh)
             repl = NamedSharding(mesh, P())
+            batch_sharding = (NamedSharding(mesh, P("data")) if dp > 1
+                              else repl)
             log(f"[INFO] expert-parallel MoE decoder: {moe} experts over "
-                f"{ep} devices: {mesh}")
+                f"{ep} devices" + (f" x dp{dp}" if dp > 1 else "")
+                + f": {mesh}")
             return ParallelRuntime(
-                mesh, repl, (lambda s: jax.device_put(s, repl)), False)
+                mesh, batch_sharding,
+                (lambda s: jax.device_put(s, repl)), False)
 
     if pp > 1:
         if not allow_pp:

@@ -57,6 +57,14 @@ def expert_parallel_apply(mlp_fn, stacked_params, expert_in,
 
     Returns ``[E, C, D_out]``. With a mesh, E must divide by the axis size
     and both params and tokens are sharded over it; otherwise a plain vmap.
+
+    The mesh may carry MORE axes than the expert one (dp x ep): the expert
+    bank shards over ``axis`` only, while the token dim (C) additionally
+    shards over every other mesh axis — ``mlp_fn`` is pointwise per token,
+    so each (expert-shard, token-shard) device computes its [E/n_e, C/n_d]
+    tile independently; the surrounding dispatch/combine einsums stay under
+    GSPMD, which keeps their batch dims on the data axis. Falls back to the
+    expert-only layout if C does not divide by the other axes' product.
     """
     if mesh is None:
         mesh, axis = _EP_MESH, _EP_AXIS
@@ -66,13 +74,20 @@ def expert_parallel_apply(mlp_fn, stacked_params, expert_in,
 
     from jax.sharding import PartitionSpec as P
 
+    others = tuple(a for a in mesh.axis_names if a != axis)
+    n_other = 1
+    for a in others:
+        n_other *= mesh.shape[a]
+    tok_spec = others if (others and expert_in.shape[1] % n_other == 0) else ()
+    x_spec = P(axis, *tok_spec) if tok_spec else P(axis)
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(axis), stacked_params), P(axis)),
-        out_specs=P(axis),
+        in_specs=(jax.tree.map(lambda _: P(axis), stacked_params), x_spec),
+        out_specs=x_spec,
         check_vma=False,
     )
-    def run(p_local, x_local):  # leaves [E/n, ...]
+    def run(p_local, x_local):  # leaves [E/n_e, C(/n_d), ...]
         return jax.vmap(mlp_fn)(p_local, x_local)
 
     return run(stacked_params, expert_in)

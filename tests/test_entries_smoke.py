@@ -279,14 +279,15 @@ def test_train_ssl_mae_pipeline_parallel_knob(synth_data, tmp_path):
 
 
 def test_train_ssl_mae_expert_parallel_knob(synth_data, tmp_path):
-    """model.decoder_moe_experts=8 + device.expert_parallel=8: opt-in MoE
-    decoder MLPs with the expert bank sharded over an 8-way mesh
-    (parallel/ep.py), end-to-end through the entry."""
+    """model.decoder_moe_experts=8 + device.expert_parallel=4 on 8 devices:
+    opt-in MoE decoder MLPs with the expert bank sharded over a dp2 x ep4
+    mesh (parallel/ep.py — batch over "data", experts over "expert"),
+    end-to-end through the entry."""
     from ssl_vit_video_analytics_tpu.parallel.ep import set_ep_mesh
 
     cfg = base_cfg(synth_data, tmp_path)
-    cfg["device"]["expert_parallel"] = 8
-    del cfg["device"]["data_parallel"]
+    cfg["device"]["expert_parallel"] = 4
+    cfg["device"]["data_parallel"] = "auto"
     cfg["model"] = {"type": "tiny_vit_21m_variant", "embed_dims": [8, 16, 24, 32],
                     "decoder_embed_dim": 16, "decoder_depth": 1,
                     "decoder_num_heads": 2, "use_checkpoint": False,
@@ -302,5 +303,5 @@ def test_train_ssl_mae_expert_parallel_knob(synth_data, tmp_path):
     finally:
         set_ep_mesh(None)
     assert out["steps"] == 2 and np.isfinite(out["last_loss"])
-    assert any("expert-parallel MoE decoder: 8 experts over 8 devices" in l
+    assert any("expert-parallel MoE decoder: 8 experts over 4 devices x dp2" in l
                for l in logs), logs

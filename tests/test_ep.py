@@ -238,3 +238,17 @@ def test_pixel_mae_step_moe_aux_metric():
     assert np.isfinite(aux) and 1.0 <= aux <= 4.0 + 1e-6
     rt_new = new_state.params["decoder"]["block0"]["MoeMlp_0"]["router"]["kernel"]
     assert float(jnp.abs(rt_new - jnp.asarray(rt_old)).max()) > 0
+
+
+def test_moe_ep_dp_2d_mesh_matches_vmap():
+    """dp x ep mesh: expert bank shards over 'expert', token dim additionally
+    over 'data'; output equals the plain vmap path."""
+    mlp, params, x = _setup()
+    y_vmap = mlp.apply({"params": params}, x)
+    set_ep_mesh(make_mesh({"data": 2, "expert": 4}))
+    try:
+        y_2d = mlp.apply({"params": params}, x)
+    finally:
+        set_ep_mesh(None)
+    np.testing.assert_allclose(np.asarray(y_2d), np.asarray(y_vmap),
+                               rtol=1e-6, atol=1e-6)
