@@ -89,6 +89,10 @@ def save_reconstruction_triptych(model, variables, clip_u8: np.ndarray, mask,
     mask_img = np.asarray(mask)[0].reshape(T, gh, gh)
     mask_up = np.kron(mask_img, np.ones((patch_size, patch_size)))[..., None]
     masked_np = (clip_u8 * (1 - mask_up)).astype(np.uint8)
+    # MAE-paper convention: paste VISIBLE patches from the input — the loss
+    # is masked-only, so predictions at visible positions are untrained
+    # (visibly garbage under raw-pixel loss) and not part of the pretext
+    recon_np = (clip_u8 * (1 - mask_up) + recon_np * mask_up).astype(np.uint8)
 
     n = min(max_frames, T)
     fig, axes = plt.subplots(3, n, figsize=(2.2 * n, 6.8))
