@@ -42,6 +42,10 @@ def main():
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--data", default="/tmp/ssl_campaign/data",
                    help="hard-fixture root (scripts/mae_evidence.py default)")
+    p.add_argument("--reverse", action="store_true",
+                   help="run 3x128 first (order-effect control: the second "
+                        "arm of a tunnel probe tends to read ~35-40 ms "
+                        "faster)")
     args = p.parse_args()
 
     from ssl_vit_video_analytics_tpu.entry.train_ssl_mae import build_model
@@ -102,8 +106,12 @@ def main():
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
         return np.asarray(losses), dt
 
-    l6, t6 = run(6)
-    l3, t3 = run(3)
+    if args.reverse:
+        l3, t3 = run(3)
+        l6, t6 = run(6)
+    else:
+        l6, t6 = run(6)
+        l3, t3 = run(3)
     rel = np.abs(l3 - l6) / np.maximum(np.abs(l6), 1e-9)
     print(f"step time: 6x64 {t6:.1f} ms vs 3x128 {t3:.1f} ms "
           f"({(t6 - t3) / t6 * 100:+.1f}% from repack)")
