@@ -99,8 +99,13 @@ def main():
             idx = rng.integers(0, len(clips), B)
             key, k = jax.random.split(key)
             state, m = step_fn(state, {"clip": jnp.asarray(clips[idx])}, k)
-            losses.append(float(m["loss"]))
+            losses.append(m["loss"])  # device scalar ref, no host fetch
+        # ONE host sync closes the timed window (steps chain through state);
+        # a per-step float() costs ~130 ms/step through the tunnel
+        # (CLAUDE.md) and poisons the A/B
+        float(losses[-1])
         dt = (time.time() - t0) / args.steps * 1e3
+        losses = [float(v) for v in losses]
         print(f"[heads={num_heads} d={384 // num_heads}] {dt:.1f} ms/step "
               f"({B / dt * 1e3:.1f} clips/s) "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)

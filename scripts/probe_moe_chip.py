@@ -93,8 +93,14 @@ def main():
             idx = rng.integers(0, len(clips), B)
             key, k = jax.random.split(key)
             state, mtr = step_fn(state, {"clip": jnp.asarray(clips[idx])}, k)
-            losses.append(float(mtr["loss"]))
+            losses.append(mtr["loss"])  # device scalar ref, no host fetch
+        # ONE host sync closes the timed window (steps chain through state,
+        # so the last loss arriving means all steps ran) — a per-step
+        # float() costs ~130 ms/step through the tunnel (CLAUDE.md) and
+        # poisons the A/B
+        float(losses[-1])
         dt = (time.time() - t0) / args.steps * 1e3
+        losses = [float(v) for v in losses]
         tag = (f"moe E={args.experts} S={args.group} cf={args.capacity}"
                if moe else "dense")
         print(f"[{tag}] params={n_par / 1e6:.2f}M {dt:.1f} ms/step "

@@ -227,15 +227,20 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print,
         elif n_dev < 2:
             log("[WARN] expert_parallel requested on 1 device; ignoring")
         else:
-            from ..parallel.ep import set_ep_mesh
+            from ..parallel.ep import (count_bank_sharded, set_ep_mesh,
+                                       shard_state_ep)
             ep = min(ep, n_dev)
             while ep > 1 and moe % ep:
                 ep -= 1
             # remaining devices become a data axis (dp x ep), honoring an
             # explicit device.data_parallel cap; batch shards over "data",
-            # expert bank + expert FLOPs over "expert" (parallel/ep.py)
+            # expert bank + expert FLOPs over "expert" (parallel/ep.py).
+            # NOTE: `is True` not `in (True, ...)` — a user's explicit
+            # data_parallel: 1 equals True in Python and must mean dp OFF.
             dp_req = dev_cfg.get("data_parallel", "auto")
-            dp = n_dev // ep if dp_req in ("auto", True, None) else int(dp_req or 1)
+            dp = (n_dev // ep if (dp_req == "auto" or dp_req is True
+                                  or dp_req is None)
+                  else int(dp_req or 1))
             dp = max(1, min(dp, n_dev // ep))
             while dp > 1 and batch_size % dp:
                 dp -= 1
@@ -248,9 +253,17 @@ def setup_parallelism(cfg: dict, batch_size: int, log=print,
             log(f"[INFO] expert-parallel MoE decoder: {moe} experts over "
                 f"{ep} devices" + (f" x dp{dp}" if dp > 1 else "")
                 + f": {mesh}")
-            return ParallelRuntime(
-                mesh, batch_sharding,
-                (lambda s: jax.device_put(s, repl)), False)
+
+            def place_state(state):
+                # expert banks + their optimizer moments shard P("expert");
+                # everything else replicates (parallel/ep.shard_state_ep)
+                placed = shard_state_ep(state, mesh)
+                n_sh, n_tot = count_bank_sharded(state.params, mesh)
+                log(f"[INFO] EP: {n_sh}/{n_tot} param leaves (expert banks) "
+                    f"sharded over 'expert'")
+                return placed
+
+            return ParallelRuntime(mesh, batch_sharding, place_state, False)
 
     if pp > 1:
         if not allow_pp:

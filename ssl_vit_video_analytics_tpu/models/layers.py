@@ -325,8 +325,16 @@ class MoeMlp(nn.Module):
 
         B, L, D = x.shape
         N, E, H = B * L, self.num_experts, self.hidden
-        S = self.group_size if (self.group_size > 0
-                                and N % self.group_size == 0) else N
+        if self.group_size > 0 and N % self.group_size:
+            # refuse rather than silently fall back to one N-token group:
+            # flat capacity C grows with N, so the [S, E, C] dispatch
+            # one-hot would go QUADRATIC in tokens (tens of GB at
+            # production shapes) with no diagnostic
+            raise ValueError(
+                f"moe group_size={self.group_size} must divide the token "
+                f"count B*L={N} (got B={B}, L={L}); pick a divisor of the "
+                "per-clip token count")
+        S = self.group_size if self.group_size > 0 else N
         G = N // S
         C = max(1, int(-(-S * self.capacity_factor // E)))
         xt = x.reshape(N, D)

@@ -91,3 +91,53 @@ def expert_parallel_apply(mlp_fn, stacked_params, expert_in,
         return jax.vmap(mlp_fn)(p_local, x_local)
 
     return run(stacked_params, expert_in)
+
+
+def shard_state_ep(state, mesh, axis: str = "expert"):
+    """Shard a whole TrainState's MoE expert banks over the expert axis.
+
+    The point of EP is that the expert bank (and its Adam moments — 3x the
+    bank again) does NOT replicate: every ``MoeMlp`` leaf (w1/b1/w2/b2,
+    leading axis E) is placed P(axis) on dim 0; everything else replicates.
+    Like tp.shard_state_tp, this works on any pytree whose leaf paths end in
+    the param path (optax moment subtrees mirror the params tree). Under jit,
+    GSPMD keeps the bank sharded through the shard_map expert apply — without
+    this, device_put(state, P()) re-replicates the bank on every device and
+    the advertised "bank too big for one chip" scaling never materializes.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis]
+    moe_names = {"w1", "b1", "w2", "b2"}
+
+    def place(path, leaf):
+        if leaf is None or not hasattr(leaf, "shape"):
+            return leaf
+        keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        is_bank = (keys and keys[-1] in moe_names
+                   and any("MoeMlp" in k for k in keys)
+                   and leaf.ndim >= 1 and leaf.shape[0] % n == 0)
+        spec = P(axis) if is_bank else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
+def count_bank_sharded(params, mesh, axis: str = "expert") -> tuple[int, int]:
+    """(n_bank_leaves_sharded, n_total_leaves) — for entry logging."""
+    n = mesh.shape[axis]
+    moe_names = {"w1", "b1", "w2", "b2"}
+    n_sh = n_tot = 0
+
+    def visit(path, leaf):
+        nonlocal n_sh, n_tot
+        n_tot += 1
+        keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        n_sh += bool(keys and keys[-1] in moe_names
+                     and any("MoeMlp" in k for k in keys)
+                     and hasattr(leaf, "shape") and leaf.ndim >= 1
+                     and leaf.shape[0] % n == 0)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return n_sh, n_tot

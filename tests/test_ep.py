@@ -235,7 +235,9 @@ def test_pixel_mae_step_moe_aux_metric():
         variables["params"]["decoder"]["block0"]["MoeMlp_0"]["router"]["kernel"])
     new_state, metrics = step(state, batch, jax.random.key(6))
     aux = float(metrics["moe_aux"])
-    assert np.isfinite(aux) and 1.0 <= aux <= 4.0 + 1e-6
+    # aux ~= 1 at balance but not bounded below by 1 (argmax fractions can
+    # anti-correlate with prob mass); 0.9 avoids seed-flaky failures
+    assert np.isfinite(aux) and 0.9 <= aux <= 4.0 + 1e-6
     rt_new = new_state.params["decoder"]["block0"]["MoeMlp_0"]["router"]["kernel"]
     assert float(jnp.abs(rt_new - jnp.asarray(rt_old)).max()) > 0
 
