@@ -305,3 +305,6 @@ def test_train_ssl_mae_expert_parallel_knob(synth_data, tmp_path):
     assert out["steps"] == 2 and np.isfinite(out["last_loss"])
     assert any("expert-parallel MoE decoder: 8 experts over 4 devices x dp2" in l
                for l in logs), logs
+    # the expert bank (w1/b1/w2/b2) must actually shard, not replicate
+    assert any("EP: 4/" in l and "sharded over 'expert'" in l
+               for l in logs), logs
