@@ -16,7 +16,7 @@ from ssl_vit_video_analytics_tpu.reporting.plotting import (
     fig18_feature_privacy, fig_finetune_comparison, fig_ssl_dynamics,
     fig_statistical_analysis)
 
-MODES = ("ft_ssl", "ft_random", "linear_probe")
+MODES = ("ft_ssl", "ft_random", "linear_probe", "two_stage")
 
 
 def main():
