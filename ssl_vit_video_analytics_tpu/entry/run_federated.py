@@ -190,9 +190,11 @@ def run(cfg: dict, log=print) -> dict:
     mesh = make_mesh({"client": n_dev}) if n_dev > 1 else None
     log(f"[INFO] mesh: {mesh} (clients={num_clients}, devices={n_dev})")
 
+    step_chunk = fed.get("step_chunk")  # None = auto-size to ~1 GiB of clips
     parallel_update = make_parallel_client_update(
         model, lr=float(fed["lr"]), weight_decay=float(fed["weight_decay"]),
-        normalize_fn=lambda c: normalize_clip(c, dtype=dtype), mesh=mesh)
+        normalize_fn=lambda c: normalize_clip(c, dtype=dtype), mesh=mesh,
+        step_chunk=int(step_chunk) if step_chunk else None)
 
     eval_step = eng.make_eval_step(model, compute_dtype=dtype)
 

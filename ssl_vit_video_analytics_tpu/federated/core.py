@@ -68,11 +68,14 @@ def make_parallel_client_update(
     normalize_fn: Callable,
     client_axis: str = "client",
     mesh=None,
+    step_chunk: int | None = None,
+    chunk_budget_bytes: int = 1 << 30,
 ):
     """Build the jitted all-clients-at-once local update.
 
     Each client gets a FRESH AdamW per round (ref: src/federated/client_sim.py:36)
-    — tx.init happens inside, so no optimizer state crosses rounds.
+    — the optimizer state is initialized at round start and discarded at round
+    end; nothing crosses rounds.
 
     Inputs (stacked on axis 0 = clients, sharded over the mesh client axis):
       params/batch_stats: [N, ...] trees
@@ -80,6 +83,16 @@ def make_parallel_client_update(
       labels: [N, S, B] int32
       valid:  [N, S, B] bool   (padding mask; clients have ragged step counts)
     Returns (new_params, new_batch_stats, avg_loss [N]).
+
+    The step axis S is processed in CHUNKS of at most ``step_chunk`` steps
+    (default: auto-sized so one chunk's clips stay under ``chunk_budget_bytes``
+    ≈ 1 GiB of HBM): at production client sizes the full round's uint8 clips
+    do not fit on one chip (5 clients × 72 steps × [16,16,112,112,3] ≈ 27.7 GB
+    vs 16 GB HBM — observed OOM), and chunking also keeps the compiled shape
+    [N, C, B, ...] stable across rounds with ragged S. The per-round optimizer
+    state, BN stats, and loss sums carry across chunks, so the result is
+    numerically identical to a single scan over all S steps; the tail chunk is
+    padded with valid=False steps, which the step fn already treats as no-ops.
 
     Parallelism is shard_map over ``mesh``'s ``client`` axis with an unrolled
     loop over the device-local clients — NOT vmap: vmapping a conv turns it
@@ -92,9 +105,8 @@ def make_parallel_client_update(
     """
     tx = optax.adamw(float(lr), weight_decay=float(weight_decay))
 
-    def one_client(params, batch_stats, clips, labels, valid):
-        opt_state = tx.init(params)
-
+    def one_client_chunk(params, batch_stats, opt_state, loss_sum, count,
+                         clips, labels, valid):
         def step(carry, batch):
             params, bs, opt_state = carry
             clip_u8, y, v = batch
@@ -124,42 +136,70 @@ def make_parallel_client_update(
                 lambda n, o: jnp.where(any_valid, n, o), new_bs, bs)
             return (new_params, new_bs, new_opt), (loss * jnp.sum(vf), jnp.sum(vf))
 
-        (params, batch_stats, _), (loss_sums, counts) = jax.lax.scan(
+        (params, batch_stats, opt_state), (loss_sums, counts) = jax.lax.scan(
             step, (params, batch_stats, opt_state), (clips, labels, valid))
-        avg_loss = jnp.sum(loss_sums) / jnp.maximum(jnp.sum(counts), 1.0)
-        return params, batch_stats, avg_loss
+        return (params, batch_stats, opt_state,
+                loss_sum + jnp.sum(loss_sums), count + jnp.sum(counts))
 
-    def local_loop(params, batch_stats, clips, labels, valid):
+    def _stack_trees(trees):
+        if len(trees) > 1:
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        return jax.tree.map(lambda x: x[None], trees[0])
+
+    def local_loop_chunk(params, batch_stats, opt_state, loss_sum, count,
+                         clips, labels, valid):
         """Unrolled loop over the (static) leading client dim of one shard."""
         n_local = clips.shape[0]
         outs = []
         for i in range(n_local):
-            p_i = jax.tree.map(lambda x: x[i], params)
-            bs_i = jax.tree.map(lambda x: x[i], batch_stats)
-            outs.append(one_client(p_i, bs_i, clips[i], labels[i], valid[i]))
-        stack = lambda *xs: jnp.stack(xs)
-        new_p = jax.tree.map(stack, *[o[0] for o in outs]) if n_local > 1 \
-            else jax.tree.map(lambda x: x[None], outs[0][0])
-        new_bs = jax.tree.map(stack, *[o[1] for o in outs]) if n_local > 1 \
-            else jax.tree.map(lambda x: x[None], outs[0][1])
-        losses = jnp.stack([o[2] for o in outs])
-        return new_p, new_bs, losses
+            sliced = [jax.tree.map(lambda x: x[i], t)
+                      for t in (params, batch_stats, opt_state)]
+            outs.append(one_client_chunk(
+                *sliced, loss_sum[i], count[i], clips[i], labels[i], valid[i]))
+        return (_stack_trees([o[0] for o in outs]),
+                _stack_trees([o[1] for o in outs]),
+                _stack_trees([o[2] for o in outs]),
+                jnp.stack([o[3] for o in outs]),
+                jnp.stack([o[4] for o in outs]))
 
-    def parallel_update(params, batch_stats, clips, labels, valid):
-        if mesh is None or client_axis not in mesh.axis_names \
-                or mesh.shape[client_axis] == 1:
-            return jax.jit(local_loop)(params, batch_stats, clips, labels, valid)
+    if mesh is None or client_axis not in mesh.axis_names \
+            or mesh.shape[client_axis] == 1:
+        chunk_fn = jax.jit(local_loop_chunk)
+    else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         spec = P(client_axis)
-        # check_vma=False: the fresh per-round optimizer state is created
-        # inside the mapped function (device-invariant constants), which the
-        # varying-axis checker would reject when mixed into the scan carry.
-        fn = shard_map(local_loop, mesh=mesh,
-                       in_specs=(spec, spec, spec, spec, spec),
-                       out_specs=(spec, spec, spec),
-                       check_vma=False)
-        return jax.jit(fn)(params, batch_stats, clips, labels, valid)
+        # check_vma=False: scalar opt-state leaves (Adam's step count) enter
+        # the mapped scan carry as device-invariant values, which the
+        # varying-axis checker would reject when mixed with varying leaves.
+        chunk_fn = jax.jit(shard_map(
+            local_loop_chunk, mesh=mesh,
+            in_specs=(spec,) * 8, out_specs=(spec,) * 5, check_vma=False))
+
+    def parallel_update(params, batch_stats, clips, labels, valid):
+        clips, labels, valid = (np.asarray(clips), np.asarray(labels),
+                                np.asarray(valid))
+        n, s = clips.shape[0], clips.shape[1]
+        per_chunk_step = n * int(np.prod(clips.shape[2:]))  # uint8 bytes
+        c = step_chunk or max(1, min(s, int(chunk_budget_bytes) // max(1, per_chunk_step)))
+        pad = (-s) % c
+        if pad:
+            zpad = lambda a: np.concatenate(
+                [a, np.zeros((n, pad) + a.shape[2:], a.dtype)], axis=1)
+            clips, labels, valid = zpad(clips), zpad(labels), zpad(valid)
+
+        # fresh per-round optimizer state, replicated to the client axis
+        opt0 = tx.init(jax.tree.map(lambda x: x[0], params))
+        opt_state = broadcast_tree(opt0, n)
+        loss_sum = jnp.zeros((n,), jnp.float32)
+        count = jnp.zeros((n,), jnp.float32)
+        for k in range(0, clips.shape[1], c):
+            sl = slice(k, k + c)
+            params, batch_stats, opt_state, loss_sum, count = chunk_fn(
+                params, batch_stats, opt_state, loss_sum, count,
+                clips[:, sl], labels[:, sl], valid[:, sl])
+        avg_loss = loss_sum / jnp.maximum(count, 1.0)
+        return params, batch_stats, avg_loss
 
     return parallel_update
 

@@ -158,3 +158,30 @@ def test_pad_clients_identity_when_divisible():
     assert out is b and n == 4 and sizes.shape == (4,)
     out2, sizes2, n2 = pad_clients_to_axis(b, np.ones((4,), np.float32), 8)
     assert n2 == 4 and out2["clip"].shape == (8, 1) and sizes2[4:].sum() == 0
+
+
+def test_chunked_local_update_matches_unchunked():
+    """Step-axis chunking (the HBM fix for production client sizes: a full
+    round's stacked clips OOMed the chip at 27.7 GB) must be numerically
+    identical to one scan over all S steps — optimizer state, BN stats, and
+    loss sums carry across chunks; the padded tail is valid=False no-ops."""
+    N, S, B, T, sz = 2, 5, 2, 2, 32
+    model = VideoClassifier(backbone=MobileViTBackbone(embed_dim=16), num_classes=4)
+    v = jax.jit(lambda k: model.init(k, jnp.zeros((B, T, sz, sz, 3))))(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    batches = {
+        "clip": rng.integers(0, 255, (N, S, B, T, sz, sz, 3), dtype=np.uint8),
+        "label": rng.integers(0, 4, (N, S, B), dtype=np.int32),
+        "valid": np.ones((N, S, B), bool),
+    }
+    sizes = np.full((N,), 10.0, np.float32)
+
+    outs = {}
+    for chunk in (S, 2):  # 2 does not divide S=5 -> exercises tail padding
+        upd = make_parallel_client_update(
+            model, lr=1e-3, weight_decay=0.01, normalize_fn=normalize_clip,
+            mesh=None, step_chunk=chunk)
+        outs[chunk] = run_fedavg_round(upd, v["params"], v["batch_stats"],
+                                       batches, sizes, mesh=None)
+    for a, b in zip(jax.tree.leaves(outs[S]), jax.tree.leaves(outs[2])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
