@@ -69,7 +69,7 @@ def make_parallel_client_update(
     client_axis: str = "client",
     mesh=None,
     step_chunk: int | None = None,
-    chunk_budget_bytes: int = 1 << 30,
+    chunk_budget_bytes: int = 512 << 20,
 ):
     """Build the jitted all-clients-at-once local update.
 
@@ -94,6 +94,14 @@ def make_parallel_client_update(
     numerically identical to a single scan over all S steps; the tail chunk is
     padded with valid=False steps, which the step fn already treats as no-ops.
 
+    Clip chunks cross the jit boundary with the pixel dims FLATTENED to
+    [N, C, B, T·H·W·3]: XLA's chosen input layout tiles the two minor dims
+    (8×128 lanes), so a trailing channel dim of 3 inflates the resident u8
+    buffer ~8x (observed: a 1.0 GB chunk allocated as 7.9 GB of hbm). The
+    flat K = T·H·W·3 is a multiple of 128 at production shapes, making the
+    padding ~zero; each scan step unflattens its own [B, K] slice (a ~10 MB
+    relayout) before normalize.
+
     Parallelism is shard_map over ``mesh``'s ``client`` axis with an unrolled
     loop over the device-local clients — NOT vmap: vmapping a conv turns it
     into a grouped conv whose feature_group_count must divide the channel
@@ -105,12 +113,12 @@ def make_parallel_client_update(
     """
     tx = optax.adamw(float(lr), weight_decay=float(weight_decay))
 
-    def one_client_chunk(params, batch_stats, opt_state, loss_sum, count,
-                         clips, labels, valid):
+    def one_client_chunk(clip_dims, params, batch_stats, opt_state,
+                         loss_sum, count, clips, labels, valid):
         def step(carry, batch):
             params, bs, opt_state = carry
-            clip_u8, y, v = batch
-            clip = normalize_fn(clip_u8)
+            clip_flat, y, v = batch
+            clip = normalize_fn(clip_flat.reshape((clip_flat.shape[0],) + clip_dims))
             vf = v.astype(jnp.float32)
             n_valid = jnp.maximum(jnp.sum(vf), 1.0)
 
@@ -146,40 +154,55 @@ def make_parallel_client_update(
             return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
         return jax.tree.map(lambda x: x[None], trees[0])
 
-    def local_loop_chunk(params, batch_stats, opt_state, loss_sum, count,
-                         clips, labels, valid):
-        """Unrolled loop over the (static) leading client dim of one shard."""
-        n_local = clips.shape[0]
-        outs = []
-        for i in range(n_local):
-            sliced = [jax.tree.map(lambda x: x[i], t)
-                      for t in (params, batch_stats, opt_state)]
-            outs.append(one_client_chunk(
-                *sliced, loss_sum[i], count[i], clips[i], labels[i], valid[i]))
-        return (_stack_trees([o[0] for o in outs]),
-                _stack_trees([o[1] for o in outs]),
-                _stack_trees([o[2] for o in outs]),
-                jnp.stack([o[3] for o in outs]),
-                jnp.stack([o[4] for o in outs]))
+    def make_local_loop_chunk(clip_dims: tuple):
+        def local_loop_chunk(params, batch_stats, opt_state, loss_sum, count,
+                             clips, labels, valid):
+            """Unrolled loop over the (static) leading client dim of one shard."""
+            n_local = clips.shape[0]
+            outs = []
+            for i in range(n_local):
+                sliced = [jax.tree.map(lambda x: x[i], t)
+                          for t in (params, batch_stats, opt_state)]
+                outs.append(one_client_chunk(
+                    clip_dims, *sliced, loss_sum[i], count[i],
+                    clips[i], labels[i], valid[i]))
+            return (_stack_trees([o[0] for o in outs]),
+                    _stack_trees([o[1] for o in outs]),
+                    _stack_trees([o[2] for o in outs]),
+                    jnp.stack([o[3] for o in outs]),
+                    jnp.stack([o[4] for o in outs]))
+        return local_loop_chunk
 
-    if mesh is None or client_axis not in mesh.axis_names \
-            or mesh.shape[client_axis] == 1:
-        chunk_fn = jax.jit(local_loop_chunk)
-    else:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-        spec = P(client_axis)
-        # check_vma=False: scalar opt-state leaves (Adam's step count) enter
-        # the mapped scan carry as device-invariant values, which the
-        # varying-axis checker would reject when mixed with varying leaves.
-        chunk_fn = jax.jit(shard_map(
-            local_loop_chunk, mesh=mesh,
-            in_specs=(spec,) * 8, out_specs=(spec,) * 5, check_vma=False))
+    chunk_fns: dict = {}
+
+    def get_chunk_fn(clip_dims: tuple):
+        if clip_dims in chunk_fns:
+            return chunk_fns[clip_dims]
+        loop = make_local_loop_chunk(clip_dims)
+        if mesh is None or client_axis not in mesh.axis_names \
+                or mesh.shape[client_axis] == 1:
+            fn = jax.jit(loop)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            spec = P(client_axis)
+            # check_vma=False: scalar opt-state leaves (Adam's step count)
+            # enter the mapped scan carry as device-invariant values, which
+            # the varying-axis checker would reject when mixed with varying
+            # leaves.
+            fn = jax.jit(shard_map(loop, mesh=mesh, in_specs=(spec,) * 8,
+                                   out_specs=(spec,) * 5, check_vma=False))
+        chunk_fns[clip_dims] = fn
+        return fn
 
     def parallel_update(params, batch_stats, clips, labels, valid):
         clips, labels, valid = (np.asarray(clips), np.asarray(labels),
                                 np.asarray(valid))
         n, s = clips.shape[0], clips.shape[1]
+        clip_dims = clips.shape[3:]  # (T, H, W, 3)
+        chunk_fn = get_chunk_fn(clip_dims)
+        # flatten pixel dims: see layout note in the docstring
+        clips = clips.reshape(clips.shape[:3] + (-1,))
         per_chunk_step = n * int(np.prod(clips.shape[2:]))  # uint8 bytes
         c = step_chunk or max(1, min(s, int(chunk_budget_bytes) // max(1, per_chunk_step)))
         pad = (-s) % c
