@@ -29,10 +29,14 @@ COMMON=(--set dataset.name=synthetic_app10_big
   --set dataset.clip_len=16 --set dataset.stride=1 --set dataset.image_size=112
   --set model.embed_dim=256)
 
-# 1. cold FedAvg + centralized same-budget baseline
+# 1. cold FedAvg + centralized same-budget baseline (skip the baseline on
+#    re-entry if its CSV already exists — it is deterministic)
 if [ ! -f results/fed_big_cold_r4/fed_summary.csv ]; then
+  CENT=()
+  [ -f results/fed_big_cold_r4/centralized_summary.csv ] && \
+    CENT=(--set centralized.enabled=false)
   timeout 10800 python -m ssl_vit_video_analytics_tpu.entry.run_federated \
-    --config configs/federated.yaml "${COMMON[@]}" \
+    --config configs/federated.yaml "${COMMON[@]}" "${CENT[@]}" \
     --set output.save_dir=results/fed_big_cold_r4 \
     --set paths.split_root=results/fed_big_cold_r4/splits \
     > results/fed_big_cold_r4.log 2>&1
