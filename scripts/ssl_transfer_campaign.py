@@ -67,6 +67,13 @@ def main():
                         "regime SSL targets)")
     p.add_argument("--skip_ssl", action="store_true")
     p.add_argument("--skip_privacy", action="store_true")
+    p.add_argument("--device_resident", default=None,
+                   help="override dataset.device_resident (auto|true|false|"
+                        "chunked). At 8x fixture scale the split is ~5.5 GB: "
+                        "auto picks chunked rotation, which under the axon "
+                        "tunnel leaks ~split-bytes of host RSS per epoch "
+                        "(BENCH.md round 4); force 'true' to keep the whole "
+                        "split HBM-resident (one-time staging pin only)")
     p.add_argument("--modes", default="ft_ssl,ft_random,linear_probe")
     args = p.parse_args()
 
@@ -98,7 +105,9 @@ def main():
         "device": {"compute_dtype": "float32" if args.smoke else "bfloat16"},
         "dataset": {"backend": "packed", "train_split": splits["train"],
                     "val_split": splits["val"], "num_classes": args.classes,
-                    "clip_len": T, "stride": 1, "image_size": S},
+                    "clip_len": T, "stride": 1, "image_size": S,
+                    **({"device_resident": args.device_resident}
+                       if args.device_resident is not None else {})},
         "paths": {"log_dir": os.path.join(args.out, "logs"), "split_root": "",
                   "save_dir": os.path.join(args.out, "finetune")},
     }

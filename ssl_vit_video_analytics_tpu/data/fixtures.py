@@ -157,7 +157,23 @@ def make_hard_synthetic_dataset(
 ) -> dict[str, str]:
     """Scaled, non-trivial synthetic dataset (motion-coded classes, randomized
     appearance) for SSL-transfer evidence runs and the feature-privacy grid.
-    Same on-disk format as make_synthetic_dataset. Returns split paths."""
+    Same on-disk format as make_synthetic_dataset. Returns split paths.
+
+    Idempotent: generation is deterministic per argument tuple, so if the
+    split files already list the expected clip count and the last clip's
+    packed frames exist on disk, the (expensive, minutes at 8x scale)
+    regeneration is skipped and the existing paths are returned."""
+    split_dir = os.path.join(root, "splits")
+    train_path = os.path.join(split_dir, "train.txt")
+    val_path = os.path.join(split_dir, "val.txt")
+    last_clip = os.path.join(root, f"class{num_classes - 1:02d}",
+                             f"vid{videos_per_class - 1:03d}",
+                             f"packed_{image_size}.npy")
+    if os.path.exists(train_path) and os.path.exists(val_path) \
+            and os.path.exists(last_clip):
+        n = sum(1 for _ in open(train_path)) + sum(1 for _ in open(val_path))
+        if n == num_classes * videos_per_class:
+            return {"train": train_path, "val": val_path, "root": root}
     rng = np.random.default_rng(seed)
     items: list[tuple[str, int]] = []
     for label in range(num_classes):

@@ -43,6 +43,29 @@ def test_clip_dataset_shapes_and_determinism(synth_data):
     assert all_b[-1]["valid"].sum() == len(ds) % 5 or all_b[-1]["valid"].all()
 
 
+def test_hard_fixture_idempotent(tmp_path):
+    """make_hard_synthetic_dataset skips regeneration when the fixture is
+    already complete on disk (generation is deterministic per argument
+    tuple; at 8x campaign scale a redundant rebuild costs minutes)."""
+    import os
+
+    from ssl_vit_video_analytics_tpu.data.fixtures import \
+        make_hard_synthetic_dataset
+
+    kw = dict(num_classes=2, videos_per_class=3, num_frames=4, image_size=16)
+    root = str(tmp_path / "hard")
+    s1 = make_hard_synthetic_dataset(root, **kw)
+    probe = os.path.join(root, "class01", "vid002", "packed_16.npy")
+    mtime = os.path.getmtime(probe)
+    s2 = make_hard_synthetic_dataset(root, **kw)
+    assert s1 == s2
+    assert os.path.getmtime(probe) == mtime  # untouched => skipped
+    # a changed geometry is NOT served from the stale cache
+    s3 = make_hard_synthetic_dataset(root, num_classes=2, videos_per_class=4,
+                                     num_frames=4, image_size=16)
+    assert sum(1 for _ in open(s3["train"])) + sum(1 for _ in open(s3["val"])) == 8
+
+
 def test_class_shard_splits(tmp_path, synth_data):
     paths, stats = make_class_shard_splits(
         synth_data["train"], num_clients=2, shards_per_client=2, seed=42,

@@ -184,4 +184,13 @@ def test_chunked_local_update_matches_unchunked():
         outs[chunk] = run_fedavg_round(upd, v["params"], v["batch_stats"],
                                        batches, sizes, mesh=None)
     for a, b in zip(jax.tree.leaves(outs[S]), jax.tree.leaves(outs[2])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.floating):
+            # chunk=5 and chunk=2 are DIFFERENT XLA programs (loop
+            # partitioning changes fusion/codegen), so demand agreement to
+            # ~1 ulp, not bit-identity — the suite observed a 2.4e-7 rel
+            # drift when one arm loaded a compile-cache entry built on a
+            # host with different CPU features
+            np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-7)
+        else:
+            np.testing.assert_array_equal(a, b)
