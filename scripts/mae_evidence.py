@@ -106,6 +106,11 @@ def main():
                         "norm-pix targets of noise-dominated synthetic patches "
                         "are irreducibly white noise, so raw-pixel runs give "
                         "the interpretable reconstruction visuals")
+    p.add_argument("--device_resident", default=None,
+                   help="dataset.device_resident override (true|false|auto|"
+                        "chunked). XL splits (>4 GB) should pass 'true': the "
+                        "auto chunked rotation leaks ~shard-bytes of host RSS "
+                        "per rotation under the axon tunnel (BENCH.md r4)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--triptychs_only", action="store_true",
                    help="skip training; re-render triptychs from the saved "
@@ -139,6 +144,8 @@ def main():
     cfg["dataset"].update(backend="packed", train_split=splits["train"],
                           val_split=splits["val"], clip_len=T, stride=1,
                           image_size=S)
+    if args.device_resident is not None:
+        cfg["dataset"]["device_resident"] = args.device_resident
     cfg["paths"] = {"log_dir": os.path.join(args.out, "logs"), "split_root": ""}
     if args.smoke:
         cfg["model"].update(embed_dims=[8, 16, 24, 32], decoder_embed_dim=16,
