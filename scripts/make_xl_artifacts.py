@@ -57,6 +57,26 @@ def main():
         shutil.copyfile(ev, os.path.join(CSV_DST, "evaluate_xl.csv"))
         print("copied", ev)
 
+    # queue 13: flagship pipeline-B at XL — MAE pretrain curve + TinyViT-
+    # backbone mode table (separations_xl_b_r4/m_<mode>).
+    b_pre = "results/mae_xl_r4/mae_pretrain_metrics.csv"
+    if os.path.exists(b_pre):
+        shutil.copyfile(b_pre, os.path.join(CSV_DST, "mae_pretrain_xl_metrics.csv"))
+        print("copied", b_pre)
+    b_csvs = {}
+    for m in MODES:
+        src = os.path.join("results/separations_xl_b_r4", f"m_{m}",
+                           "finetune", m, "metrics.csv")
+        if os.path.exists(src):
+            dst = os.path.join(CSV_DST, f"separations_xl_b_{m}_metrics.csv")
+            shutil.copyfile(src, dst)
+            b_csvs[m] = dst
+            print("copied", src)
+    if b_csvs:
+        fig = fig_finetune_comparison(
+            b_csvs, os.path.join(FIG_DST, "fig_separations_xl_b.png"))
+        print("figure:", fig)
+
 
 if __name__ == "__main__":
     main()
