@@ -60,10 +60,18 @@ def run(cfg: dict, mode: str | None = None, log=print) -> dict:
             if isinstance(ssl_vars, dict) and "params" in ssl_vars:
                 variables = eng.load_pretrained_ssl(variables, ssl_vars)
                 log(f"[INFO] Loaded SSL pretrain from {ssl_path}")
+        elif ssl_path:
+            # A path was given but does not exist: hard-fail like the reference
+            # (src/train_finetune.py:288-290). A silent random-init fallback here
+            # would let campaign queues commit random-init results as SSL-transfer
+            # evidence (a real near-miss: round-4 queue 14 launched ft_ssl off a
+            # checkpoint a 4h-timeout could have skipped).
+            raise FileNotFoundError(
+                f"[ERROR] mode={mode} requires model.pretrained_ssl, but "
+                f"{ssl_path!r} does not exist. Set model.pretrained_ssl=null "
+                "explicitly to accept random init (smoke runs only).")
         else:
-            # The reference hard-fails here (src/train_finetune.py:288-290);
-            # we degrade to random init with a loud warning so smoke runs work.
-            log(f"[WARN] pretrained_ssl not found ({ssl_path}); continuing from random init")
+            log(f"[WARN] pretrained_ssl unset; mode={mode} continuing from random init")
 
     stage1_epochs = int(tr.get("stage1_epochs", 0))
     two_stage = mode == "two_stage"

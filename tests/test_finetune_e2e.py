@@ -132,3 +132,15 @@ def test_ssl_to_finetune_interop(synth_data, tmp_path):
     init_leaves = jax.tree.leaves(variables["params"]["backbone"])
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(init_leaves, dst_leaves))
+
+
+def test_missing_ssl_ckpt_path_hard_fails(synth_data, tmp_path):
+    """A non-ft_random mode given a pretrained_ssl path that does NOT exist must
+    raise, not silently degrade to random init — otherwise campaign queues can
+    commit random-init results as SSL-transfer evidence (ADVICE round 4)."""
+    import pytest
+
+    cfg = tiny_cfg(synth_data, tmp_path, mode="ft_ssl")
+    cfg["model"]["pretrained_ssl"] = str(tmp_path / "no_such_ckpt")
+    with pytest.raises(FileNotFoundError, match="pretrained_ssl"):
+        train_finetune.run(cfg, log=lambda *_: None)
