@@ -97,7 +97,10 @@ def main():
         pipeline_b_mfu, pipeline_b_model_kwargs)
     mfu = (pipeline_b_mfu(clips_per_sec, T, S, **pipeline_b_model_kwargs(cfg))
            if on_tpu else 0.0)
-    p50, p95, ee_impl = serving_latency(on_tpu)
+    if os.environ.get("BENCH_SKIP_SERVING"):  # MFU-curve sweeps skip the
+        p50, p95, ee_impl = 0.0, 0.0, "skipped"  # ~30s serving probe per point
+    else:
+        p50, p95, ee_impl = serving_latency(on_tpu)
     print(json.dumps({
         "metric": "mae_pretrain_throughput",
         "value": round(clips_per_sec, 2),

@@ -48,6 +48,9 @@ def main():
     p.add_argument("--appearance", type=float, default=0.0,
                    help="fixture appearance-signal strength (0 = motion-only classes)")
     p.add_argument("--data_seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42,
+                   help="training seed (init + batch order); vary with data "
+                        "fixed for seed-replicate error bars (VERDICT r4 #2)")
     p.add_argument("--ssl_epochs", type=int, default=60)
     p.add_argument("--ft_epochs", type=int, default=30)
     p.add_argument("--ft_lr", type=float, default=1e-4)
@@ -101,7 +104,7 @@ def main():
           flush=True)
 
     base = {
-        "seed": 42,
+        "seed": args.seed,
         "device": {"compute_dtype": "float32" if args.smoke else "bfloat16"},
         "dataset": {"backend": "packed", "train_split": splits["train"],
                     "val_split": splits["val"], "num_classes": args.classes,

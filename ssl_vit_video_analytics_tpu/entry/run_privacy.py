@@ -212,38 +212,58 @@ def run_feature_privacy(cfg: dict, save_dir: str, log=print) -> str:
         f"sigma=1.0 std-units is sigma={per_dim_std:.4f} absolute")
 
     key = jax.random.key(int(cfg.get("seed", 42)))
-    rows = []
+    # attacker_repeats > 1 resamples BOTH the perturbation and the attacker
+    # init/order per repeat (the round-4 grid's sigma=0.1 > sigma=0 inversion
+    # was attacker-training noise — VERDICT r4 weak #3); the main CSV keeps
+    # its reference-literal header with per-cell means, per-repeat rows go to
+    # a side CSV. repeats=1 reproduces the historical key stream bit-exact.
+    reps = int(fp.get("attacker_repeats", 1))
+    rows, rep_rows = [], []
     for sigma in fp["noise_sigmas"]:
         for mask_ratio in fp["mask_ratios"]:
-            key, k_pert, k_att = jax.random.split(key, 3)
-            z_priv = perturb_features(k_pert, zs_all, float(sigma), float(mask_ratio))
-            logits = classify_fn(z_priv)
-            top1 = top1_accuracy(logits, ys_all)
-            k5 = min(5, num_classes)
-            top5 = float(jnp.mean(jnp.any(
-                jax.lax.top_k(logits, k5)[1] == ys_all[:, None], axis=1).astype(jnp.float32)))
-            ent = prediction_entropy(logits)
+            cell = []
+            for r in range(reps):
+                key, k_pert, k_att = jax.random.split(key, 3)
+                z_priv = perturb_features(k_pert, zs_all, float(sigma), float(mask_ratio))
+                logits = classify_fn(z_priv)
+                top1 = top1_accuracy(logits, ys_all)
+                k5 = min(5, num_classes)
+                top5 = float(jnp.mean(jnp.any(
+                    jax.lax.top_k(logits, k5)[1] == ys_all[:, None], axis=1).astype(jnp.float32)))
+                ent = prediction_entropy(logits)
 
-            _, attacker_top1 = train_attacker(
-                k_att, z_priv, ys_all, num_classes,
-                epochs=int(fp.get("attacker_epochs", 10)),
-                lr=float(fp.get("attacker_lr", 1e-3)),
-                batch_size=None)
-            per = privacy_exposure_rate(clean_top1, attacker_top1)
+                _, attacker_top1 = train_attacker(
+                    k_att, z_priv, ys_all, num_classes,
+                    epochs=int(fp.get("attacker_epochs", 10)),
+                    lr=float(fp.get("attacker_lr", 1e-3)),
+                    batch_size=None)
+                per = privacy_exposure_rate(clean_top1, attacker_top1)
+                cell.append({"top1": top1, "top5": top5, "entropy": ent,
+                             "attacker_top1": attacker_top1, "per_vs_clean": per})
+                rep_rows.append({"sigma": float(sigma), "mask_ratio": float(mask_ratio),
+                                 "repeat": r,
+                                 **{k: round(v, 6) for k, v in cell[-1].items()}})
+            mean = {k: float(np.mean([c[k] for c in cell])) for k in cell[0]}
+            sd = float(np.std([c["attacker_top1"] for c in cell]))
             rows.append({
                 "sigma": float(sigma),
                 "mask_ratio": float(mask_ratio),
-                "top1": round(top1, 6),
-                "top5": round(top5, 6),
-                "entropy": round(ent, 6),
-                "attacker_top1": round(attacker_top1, 6),
-                "per_vs_clean": round(per, 6),
+                **{k: round(mean[k], 6) for k in
+                   ("top1", "top5", "entropy", "attacker_top1", "per_vs_clean")},
             })
-            log(f"[INFO] sigma={sigma} mask={mask_ratio} | top1={top1:.4f} "
-                f"top5={top5:.4f} | attacker={attacker_top1:.4f} | ent={ent:.4f}")
+            log(f"[INFO] sigma={sigma} mask={mask_ratio} | top1={mean['top1']:.4f} "
+                f"top5={mean['top5']:.4f} | attacker={mean['attacker_top1']:.4f}"
+                + (f" sd={sd:.4f} (n={reps})" if reps > 1 else "")
+                + f" | ent={mean['entropy']:.4f}")
 
     write_csv(out_csv, rows, fieldnames=list(FEATURE_FIELDS))
     log(f"[INFO] Saved feature privacy CSV: {out_csv}")
+    if reps > 1:
+        rep_csv = os.path.join(save_dir, "feature_privacy_repeats.csv")
+        write_csv(rep_csv, rep_rows,
+                  fieldnames=["sigma", "mask_ratio", "repeat", "top1", "top5",
+                              "entropy", "attacker_top1", "per_vs_clean"])
+        log(f"[INFO] Saved per-repeat privacy CSV: {rep_csv}")
     return out_csv
 
 
