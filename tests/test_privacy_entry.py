@@ -105,3 +105,26 @@ def test_yunet_real_detector_blur_suppresses_detection(tmp_path):
             suppressed += 1
     assert hits >= n // 2, f"YuNet detected only {hits}/{n} synthetic faces"
     assert suppressed >= hits // 2, "blur failed to suppress re-detection"
+
+
+def test_feature_privacy_attacker_repeats(synth_data, tmp_path):
+    """attacker_repeats=2: main CSV keeps the reference-literal header with
+    per-cell means; a per-repeat side CSV appears with 2 rows per cell."""
+    cfg = _cfg(synth_data, tmp_path)
+    cfg["visual_privacy"] = {"enabled": False}
+    cfg["feature_privacy"] = {
+        "enabled": True, "noise_sigmas": [0.0, 0.5], "mask_ratios": [0.0],
+        "attacker_epochs": 2, "attacker_lr": 1e-3, "attacker_repeats": 2,
+    }
+    out = run_privacy.run(cfg, log=lambda *_: None)
+    frows = read_csv_dicts(out["feature_csv"])
+    assert list(frows[0].keys()) == list(run_privacy.FEATURE_FIELDS)
+    assert len(frows) == 2
+    rep_csv = os.path.join(os.path.dirname(out["feature_csv"]),
+                           "feature_privacy_repeats.csv")
+    rrows = read_csv_dicts(rep_csv)
+    assert len(rrows) == 4  # 2 cells x 2 repeats
+    assert {r["repeat"] for r in rrows} == {"0", "1"}
+    # the cell mean in the main CSV is the mean of its repeats
+    cell0 = [float(r["attacker_top1"]) for r in rrows if r["sigma"] == "0.0"]
+    assert abs(float(frows[0]["attacker_top1"]) - np.mean(cell0)) < 1e-4
