@@ -71,17 +71,36 @@ def fig17_dynamic_tradeoff(early_csv: str, gating_csv: str, out_path: str) -> st
     return out_path
 
 
-def fig18_feature_privacy(feature_csv: str, out_path: str) -> str | None:
+def fig18_feature_privacy(feature_csv: str, out_path: str,
+                          repeats_csv: str | None = None) -> str | None:
+    """Utility-vs-leakage trade-off. If a per-repeat side CSV exists
+    (run_privacy attacker_repeats > 1, round 5), each cell gets +-1 sd
+    error bars on both axes — the reference-range flatness is then shown
+    against its attacker-noise floor (VERDICT r4 #4)."""
     if plt is None or not os.path.exists(feature_csv):
         return None
     rows = read_csv_dicts(feature_csv)
+    err = {}
+    if repeats_csv and os.path.exists(repeats_csv):
+        import numpy as _np
+        by_cell: dict[tuple, list] = {}
+        for r in read_csv_dicts(repeats_csv):
+            by_cell.setdefault((r["sigma"], r["mask_ratio"]), []).append(
+                (float(r["attacker_top1"]), float(r["top1"])))
+        err = {k: (_np.std([a for a, _ in v]), _np.std([t for _, t in v]))
+               for k, v in by_cell.items()}
     fig, ax = plt.subplots(figsize=(5, 4))
     sigmas = sorted({r["sigma"] for r in rows}, key=float)
     for s in sigmas:
         sub = [r for r in rows if r["sigma"] == s]
-        ax.plot(_floats(sub, "attacker_top1"), _floats(sub, "top1"),
-                "o-", label=f"sigma={s}")
+        line, = ax.plot(_floats(sub, "attacker_top1"), _floats(sub, "top1"),
+                        "o-", label=f"sigma={s}")
         for r in sub:
+            cell_err = err.get((r["sigma"], r["mask_ratio"]))
+            if cell_err:
+                ax.errorbar(float(r["attacker_top1"]), float(r["top1"]),
+                            xerr=cell_err[0], yerr=cell_err[1],
+                            color=line.get_color(), capsize=2, linestyle="none")
             ax.annotate(f"m={r['mask_ratio']}",
                         (float(r["attacker_top1"]), float(r["top1"])),
                         fontsize=7, xytext=(3, 3), textcoords="offset points")
@@ -213,6 +232,41 @@ def fig_label_fraction_sweep(summary_csv: str, out_path: str,
     ax.set_xlabel("labeled fraction of train split")
     ax.set_ylabel("best val top-1 (equal budget)")
     ax.set_title("SSL-transfer label-efficiency sweep")
+    ax.set_xscale("log")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def fig_label_fraction_sweep_err(stats_csv: str, out_path: str,
+                                 chance: float | None = None) -> str | None:
+    """Seed-replicate version of the label-fraction sweep (VERDICT r4 #2):
+    mean best val top-1 with +-1 sd error bars over training seeds. Reads
+    the stats CSV (scripts/make_seed_artifacts.py) with columns
+    backbone,label_fraction,mode,n_seeds,mean,sd,pooled_ci_lo,pooled_ci_hi."""
+    if plt is None or not os.path.exists(stats_csv):
+        return None
+    rows = read_csv_dicts(stats_csv)
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    markers = {"ft_random": "o", "ft_ssl": "s", "two_stage": "^",
+               "linear_probe": "v"}
+    for backbone, mode in sorted({(r["backbone"], r["mode"]) for r in rows}):
+        sub = sorted((r for r in rows
+                      if r["backbone"] == backbone and r["mode"] == mode),
+                     key=lambda r: float(r["label_fraction"]))
+        ax.errorbar(_floats(sub, "label_fraction"), _floats(sub, "mean"),
+                    yerr=_floats(sub, "sd"), capsize=3,
+                    marker=markers.get(mode, "o"),
+                    linestyle="-" if backbone.startswith("mobilevit") else "--",
+                    label=f"{backbone}/{mode}")
+    if chance is not None:
+        ax.axhline(chance, color="gray", linestyle=":", linewidth=1,
+                   label=f"chance ({chance:.3f})")
+    ax.set_xlabel("labeled fraction of train split")
+    ax.set_ylabel("best val top-1, mean +- 1 sd over seeds")
+    ax.set_title("SSL-transfer sweep with seed error bars")
     ax.set_xscale("log")
     ax.legend(fontsize=7)
     fig.tight_layout()
@@ -369,7 +423,10 @@ def generate_all(cfg: dict, log=print) -> list[str]:
         p = fig17_dynamic_tradeoff(early, gating, os.path.join(fig_dir, "fig17_dynamic_tradeoff.png"))
         if p: made.append(p)
     if figures.get("fig18_feature_privacy_tradeoff", True):
-        p = fig18_feature_privacy(feature, os.path.join(fig_dir, "fig18_feature_privacy.png"))
+        p = fig18_feature_privacy(
+            feature, os.path.join(fig_dir, "fig18_feature_privacy.png"),
+            repeats_csv=os.path.join(os.path.dirname(feature),
+                                     "feature_privacy_repeats.csv"))
         if p: made.append(p)
     if figures.get("fig19_federated_tradeoff", True):
         p = fig19_federated(fed, os.path.join(fig_dir, "fig19_federated.png"))
