@@ -34,11 +34,16 @@ def main():
     ft_csvs = {}
     for m in MODES:
         src = os.path.join(CAMPAIGN, f"m_{m}", "finetune", m, "metrics.csv")
+        dst = os.path.join(CSV_DST, f"separations_xl_{m}_metrics.csv")
         if os.path.exists(src):
-            dst = os.path.join(CSV_DST, f"separations_xl_{m}_metrics.csv")
             shutil.copyfile(src, dst)
             ft_csvs[m] = dst
             print("copied", src)
+        elif os.path.exists(dst):
+            # cell landed in an earlier queue and survives only as the
+            # committed docs CSV (the round-4 host reset wiped results/)
+            ft_csvs[m] = dst
+            print("using committed", dst)
         else:
             print("MISSING", src)
 
