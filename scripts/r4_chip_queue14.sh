@@ -31,7 +31,7 @@ if [ ! -d "$SSL_CKPT" ]; then
       --modes "" \
       > results/separations_xl_ssl_r4.log 2>&1
 fi
-touch results/XL_SSL_DONE
+[ -d "$SSL_CKPT" ] && touch results/XL_SSL_DONE
 
 # 2. the two missing finetune modes
 for mode in ft_ssl two_stage; do
@@ -43,7 +43,7 @@ for mode in ft_ssl two_stage; do
         --ft_epochs 40 --modes "$mode" \
         > "results/separations_xl_${mode}_r4.log" 2>&1
   fi
-  touch "results/XL_${mode}_DONE"
+  [ -f "$OUT/m_$mode/campaign_summary.json" ] && touch "results/XL_${mode}_DONE"
 done
 
 # 3. dynamic frontier + evaluate from the XL two_stage best (queue-12 payload)
@@ -72,7 +72,7 @@ if [ -d "$TS_CKPT" ]; then
       >> results/evaluate_xl_r4.log 2>&1
   fi
 fi
-touch results/XL_DYNAMIC_DONE
+[ -f results/dynamic_xl_r4/hybrid_results.csv ] && touch results/XL_DYNAMIC_DONE
 
 # 4. flagship pipeline-B at XL (queue-13 payload)
 B_OUT=results/mae_xl_r4
@@ -83,7 +83,7 @@ if [ ! -d "$B_CKPT" ]; then
       --epochs 60 --log_interval 20 --device_resident true \
       > results/mae_xl_r4.log 2>&1
 fi
-touch results/XL_B_PRETRAIN_DONE
+[ -d "$B_CKPT" ] && touch results/XL_B_PRETRAIN_DONE
 
 for mode in ft_random ft_ssl two_stage; do
   if [ ! -f "results/separations_xl_b_r4/m_$mode/campaign_summary.json" ]; then
@@ -97,4 +97,6 @@ for mode in ft_random ft_ssl two_stage; do
   fi
 done
 
-touch results/QUEUE14_DONE
+[ -f results/separations_xl_b_r4/m_two_stage/campaign_summary.json ] && \
+  touch results/QUEUE14_DONE
+exit 0
