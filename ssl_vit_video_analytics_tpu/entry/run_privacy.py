@@ -255,15 +255,21 @@ def run_feature_privacy(cfg: dict, save_dir: str, log=print) -> str:
                 f"top5={mean['top5']:.4f} | attacker={mean['attacker_top1']:.4f}"
                 + (f" sd={sd:.4f} (n={reps})" if reps > 1 else "")
                 + f" | ent={mean['entropy']:.4f}")
+            # Incremental flush: grid runs sit behind wall-clock timeouts
+            # (scripts/r5_privacy_grid.py); rewrite the tiny CSVs per cell so
+            # a mid-grid kill keeps every completed cell.
+            write_csv(out_csv, rows, fieldnames=list(FEATURE_FIELDS))
+            if reps > 1:
+                write_csv(os.path.join(save_dir, "feature_privacy_repeats.csv"),
+                          rep_rows,
+                          fieldnames=["sigma", "mask_ratio", "repeat", "top1",
+                                      "top5", "entropy", "attacker_top1",
+                                      "per_vs_clean"])
 
-    write_csv(out_csv, rows, fieldnames=list(FEATURE_FIELDS))
     log(f"[INFO] Saved feature privacy CSV: {out_csv}")
     if reps > 1:
-        rep_csv = os.path.join(save_dir, "feature_privacy_repeats.csv")
-        write_csv(rep_csv, rep_rows,
-                  fieldnames=["sigma", "mask_ratio", "repeat", "top1", "top5",
-                              "entropy", "attacker_top1", "per_vs_clean"])
-        log(f"[INFO] Saved per-repeat privacy CSV: {rep_csv}")
+        log("[INFO] Saved per-repeat privacy CSV: "
+            f"{os.path.join(save_dir, 'feature_privacy_repeats.csv')}")
     return out_csv
 
 
