@@ -196,13 +196,24 @@ reference never did). Finding: **at 5% labels every SSL-consuming mode
 beats ft_random in both families on both fixtures; at full labels with
 ample data per class ft_random retakes the lead** (the reference's own
 ample-label ordering) — until the backbone is the bottleneck (936-clip
-appearance=1.0 fixture: ft_ssl 0.3380 > ft_random 0.2361 at FULL labels)."""),
+appearance=1.0 fixture: ft_ssl 0.3380 > ft_random 0.2361 at FULL labels).
+
+**Round-5 seed replication caveat:** with 3 training seeds per low-label
+cell (`ssl_transfer_sweep_app_{seeds,stats}.csv`) the 5%/10% gaps are
+directional but not significant (max pooled z = +0.70); the solid
+SSL-vs-random separations are the at-scale full-label ones (z≈+3.1 at
+4608 clips, z≈+2.5 at 9216)."""),
         code("""\
 for name in ['ssl_transfer_sweep.csv', 'ssl_transfer_sweep_app.csv']:
     df = pd.read_csv(f'{CSV}/{name}')
     print('==', name, '(motion-coded)' if 'app' not in name else '(appearance-coded)')
     print(df.pivot_table(index=['backbone', 'label_fraction'], columns='mode',
-                         values='best_top1').round(4).to_string(), '\\n')"""),
+                         values='best_top1').round(4).to_string(), '\\n')
+import os
+if os.path.exists(f'{CSV}/ssl_transfer_sweep_app_stats.csv'):
+    st = pd.read_csv(f'{CSV}/ssl_transfer_sweep_app_stats.csv')
+    print('== seed-replicate stats (mean +- sd over seeds, pooled Wilson CI)')
+    print(st.round(4).to_string(index=False))"""),
         md("""\
 ## Throughput vs the reference GPU
 
@@ -302,7 +313,17 @@ print('== feature grid: utility (top1) and leakage (attacker_top1)')
 for v in ['top1', 'attacker_top1']:
     print(f'-- {v}')
     print(fp.pivot_table(index='sigma', columns='mask_ratio', values=v)
-          .round(3).to_string())"""),
+          .round(3).to_string())
+import os
+if os.path.exists(f'{CSV}/feature_privacy_xl.csv'):
+    xl = pd.read_csv(f'{CSV}/feature_privacy_xl.csv')
+    rep = pd.read_csv(f'{CSV}/feature_privacy_xl_repeats.csv')
+    sd = (rep.groupby(['sigma', 'mask_ratio']).attacker_top1.std(ddof=0)
+          .rename('attacker_sd'))
+    print('\\n== round-5 grid vs the XL ft_ssl best (0.7548), 3 attacker repeats')
+    print(xl.join(sd, on=['sigma', 'mask_ratio'])
+          [['sigma', 'mask_ratio', 'top1', 'attacker_top1', 'attacker_sd']]
+          .round(4).to_string(index=False))"""),
         md("""\
 ## The calibrated frontier
 
